@@ -1,0 +1,398 @@
+"""Driver-contract queries: each operator as (spark, sf_dir) -> DataFrame,
+paired with a DuckDB-equivalent ANSI-SQL oracle in oracle_sql().
+
+The full-text operators run over the `documents` table
+(doc_id, text, lang, source, n_chars). The engine tokenizer is
+deliberately expressible in DuckDB
+(lower(strip_accents(...)) + regexp [a-z0-9_]+) so BM25 itself is
+oracle-checked end-to-end: same formula, same top-k, same tie-breaks.
+
+Index builds are cached per sf_dir (module-level) because the driver
+calls each query separately.
+
+Floats are rounded to 4 decimals on BOTH sides (engine + oracle) before
+hashing; ordering inside the query uses full precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from meresco_lucene_spark.index.builder import InvertedIndex
+from meresco_lucene_spark.query.bm25 import K1_DEFAULT, B_DEFAULT
+from meresco_lucene_spark.query.executor import (
+    facet_counts_df,
+    hits,
+    scored_hits_df,
+    sort_exprs,
+)
+from meresco_lucene_spark.query.ir import FILTER, MUST, MUST_NOT, SHOULD, Q
+
+_INDEX_CACHE: dict[tuple[str, str], InvertedIndex] = {}
+
+# DuckDB CTE prelude shared by the full-text oracles: tokenize, tf, dl,
+# corpus stats, df — the same quantities the engine's index tables hold.
+ORACLE_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+cs AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (cs.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / cs.avgdl)) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN cs JOIN dfreq USING (term)
+)
+""".replace("{k1}", str(K1_DEFAULT)).replace("{b}", str(B_DEFAULT))
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = InvertedIndex.build(
+            df,
+            id_col="doc_id",
+            text_cols=["text"],
+            keyword_cols=["lang", "source"],
+            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+        )
+    return _INDEX_CACHE[key]
+
+
+def _round_score(df: DataFrame, col: str = "score") -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), 4))
+
+
+def _topk(df: DataFrame, k: int = 10) -> DataFrame:
+    return df.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+# ------------------------------------------------------------------ queries
+
+def q_term_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+C1: TermQuery scored with Lucene-8 BM25, top-10 by score."""
+    idx = get_index(spark, sf_dir)
+    return _round_score(_topk(hits(idx, Q.term("text", "spark"))))
+
+
+def q_bool_must_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 MUST: conjunction, score = sum of clause scores."""
+    idx = get_index(spark, sf_dir)
+    q = Q.and_(Q.term("text", "merge"), Q.term("text", "vector"))
+    return _round_score(_topk(hits(idx, q)))
+
+
+def q_bool_should_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 SHOULD: disjunction, score = sum of matching clause scores."""
+    idx = get_index(spark, sf_dir)
+    q = Q.or_(Q.term("text", "customer"), Q.term("text", "stream"))
+    return _round_score(_topk(hits(idx, q)))
+
+
+def q_bool_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 MUST_NOT: anti-join; count + ids (no scores -> exact)."""
+    idx = get_index(spark, sf_dir)
+    q = Q.not_(Q.term("text", "window"), Q.term("text", "spark"))
+    return hits(idx, q).select("doc_id").orderBy("doc_id")
+
+
+def q_bool_filter_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 FILTER: non-scoring conjunctive clause (keyword field)."""
+    idx = get_index(spark, sf_dir)
+    q = Q.boolean((MUST, Q.term("text", "table")), (FILTER, Q.term("lang", "en")))
+    return _round_score(_topk(hits(idx, q)))
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 PhraseQuery: ordered-adjacent 'fast table'; match set only
+    (phrase_freq scoring is engine-side; the oracle checks the match
+    semantics via token-adjacency regex)."""
+    idx = get_index(spark, sf_dir)
+    return hits(idx, Q.phrase("text", "fast", "table")).select("doc_id").orderBy("doc_id")
+
+
+def q_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 PrefixQuery: constant-score docs containing a 'sca'-prefixed term."""
+    idx = get_index(spark, sf_dir)
+    return hits(idx, Q.prefix("text", "sca")).select("doc_id").orderBy("doc_id")
+
+
+def q_matchall_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+C3: MatchAllDocsQuery + TotalHitCount collector."""
+    idx = get_index(spark, sf_dir)
+    return hits(idx, Q.matchall()).agg(F.count("*").cast("long").alias("total"))
+
+
+def q_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 RangeQuery over a numeric doc-value (n_chars), bounds incl/excl."""
+    idx = get_index(spark, sf_dir)
+    q = Q.range("n_chars", lower=200, upper=400, include_lower=True, include_upper=False)
+    return hits(idx, q).select("doc_id").orderBy("doc_id")
+
+
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 FacetSuperCollector: facet counts over all hits, top terms by
+    count desc / term asc."""
+    idx = get_index(spark, sf_dir)
+    all_hits = hits(idx, Q.matchall())
+    return facet_counts_df(idx, all_hits, "lang")
+
+
+def q_facet_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+Q10 hierarchical drilldown: source counts under lang='en'
+    (taxonomy path [lang, source], Lucene.java:611-627)."""
+    idx = get_index(spark, sf_dir)
+    q = Q.boolean((MUST, Q.term("text", "table")), (FILTER, Q.drilldown("langsrc", ["en"])))
+    h = hits(idx, q)
+    return facet_counts_df(idx, h, "langsrc", path=["en"]).limit(10)
+
+
+def q_facet_on_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 facets restricted to a query's hit set."""
+    idx = get_index(spark, sf_dir)
+    h = hits(idx, Q.term("text", "join"))
+    return facet_counts_df(idx, h, "lang")
+
+
+def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+O6: sortKeys + start/stop pagination — page [10:20) of docs
+    sorted by n_chars desc, doc_id asc."""
+    idx = get_index(spark, sf_dir)
+    h = scored_hits_df(idx, Q.matchall()).join(
+        idx.forward.select("doc_id", "n_chars"), "doc_id"
+    )
+    ordered = h.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    # start=10, stop=20 -> rows [10, 20)
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 10) & (F.col("_rn") <= 20))
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_dedup_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 DeDupFilterSuperCollector: best doc per dedup key (highest
+    n_chars, doc_id tiebreak) + duplicateCount per group."""
+    idx = get_index(spark, sf_dir)
+    h = hits(idx, Q.term("text", "group")).join(
+        idx.forward.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("lang")).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "dup_count")
+        .orderBy("lang")
+    )
+
+
+def q_prefix_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 prefixSearch (autocomplete): top terms by docFreq with prefix
+    's' (Lucene.java:629-666; client sorts by count _lucene.py:132-143)."""
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.term_stats_for("text")
+        .filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+def q_suggest_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 suggest: edit-distance<=2 candidates for 'tabel' ranked by
+    docFreq (DirectSpellChecker semantics over the term dict)."""
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.term_stats_for("text")
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
+        .filter((F.col("dist") <= 2) & (F.col("term") != "tabel"))
+        .select("term", F.col("df").alias("doc_freq"), "dist")
+        .orderBy(F.col("dist").asc(), F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 similarDocuments (MLT): query doc's terms with
+    df <= 0.1*N (CommonTermsQuery maxFreq 0.1, Lucene.java:818-846),
+    OR over other docs, ranked by count of shared rare terms."""
+    idx = get_index(spark, sf_dir)
+    n = idx.n_docs
+    seed_terms = (
+        idx.postings_for("text")
+        .filter(F.col("doc_id") == 7)
+        .select("term")
+        .join(idx.term_stats_for("text"), "term")
+        .filter(F.col("df") <= 0.1 * n)
+        .select("term")
+    )
+    return (
+        idx.postings_for("text")
+        .join(F.broadcast(seed_terms), "term", "left_semi")
+        .filter(F.col("doc_id") != 7)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("shared_terms"))
+        .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "term_bm25_top10": q_term_bm25_top10,
+    "bool_must_top10": q_bool_must_top10,
+    "bool_should_top10": q_bool_should_top10,
+    "bool_must_not": q_bool_must_not,
+    "bool_filter_top10": q_bool_filter_top10,
+    "phrase_match": q_phrase_match,
+    "prefix_docs": q_prefix_docs,
+    "matchall_count": q_matchall_count,
+    "range_numeric": q_range_numeric,
+    "facet_lang": q_facet_lang,
+    "facet_drilldown": q_facet_drilldown,
+    "facet_on_query": q_facet_on_query,
+    "sort_paginate": q_sort_paginate,
+    "dedup_by_lang": q_dedup_by_lang,
+    "prefix_search_terms": q_prefix_search_terms,
+    "suggest_spellcheck": q_suggest_spellcheck,
+    "similar_documents": q_similar_documents,
+}
+
+
+# -------------------------------------------------------------- oracle SQL
+
+def _bm25_topk_sql(where: str, k: int = 10) -> str:
+    return (
+        ORACLE_PRELUDE
+        + f"""
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE {where}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+ORACLES = {
+    "term_bm25_top10": _bm25_topk_sql("term = 'spark'"),
+    "bool_must_top10": ORACLE_PRELUDE
+    + """
+, comb AS (
+  SELECT doc_id, sum(score) AS score, count(*) AS nm
+  FROM scored WHERE term IN ('merge', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM comb WHERE nm = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    "bool_should_top10": ORACLE_PRELUDE
+    + """
+, comb AS (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('customer', 'stream') GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    "bool_must_not": ORACLE_PRELUDE
+    + """
+SELECT doc_id FROM scored WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM scored WHERE term = 'spark')
+ORDER BY doc_id
+""",
+    "bool_filter_top10": ORACLE_PRELUDE
+    + """
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.term = 'table' AND d.lang = 'en'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+""",
+    # token-adjacency regex == position-level phrase match
+    "phrase_match": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(strip_accents(text)),
+  '(^|[^a-z0-9_])fast[^a-z0-9_]+table([^a-z0-9_]|$)')
+ORDER BY doc_id
+""",
+    "prefix_docs": ORACLE_PRELUDE
+    + """
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sca%' ORDER BY doc_id
+""",
+    "matchall_count": "SELECT count(*)::BIGINT AS total FROM documents",
+    "range_numeric": """
+SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id
+""",
+    "facet_lang": """
+SELECT lang AS term, count(*)::BIGINT AS count FROM documents
+WHERE lang IS NOT NULL GROUP BY lang ORDER BY count DESC, term ASC
+""",
+    "facet_drilldown": ORACLE_PRELUDE
+    + """
+SELECT d.source AS term, count(*)::BIGINT AS count
+FROM documents d
+WHERE d.lang = 'en' AND d.source IS NOT NULL
+  AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+GROUP BY d.source ORDER BY count DESC, term ASC LIMIT 10
+""",
+    "facet_on_query": ORACLE_PRELUDE
+    + """
+SELECT d.lang AS term, count(*)::BIGINT AS count
+FROM documents d
+WHERE d.lang IS NOT NULL
+  AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')
+GROUP BY d.lang ORDER BY count DESC, term ASC
+""",
+    "sort_paginate": """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, n_chars FROM ranked WHERE rn > 10 AND rn <= 20
+""",
+    "dedup_by_lang": ORACLE_PRELUDE
+    + """
+, hitdocs AS (
+  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'group')
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS dup_count
+  FROM hitdocs
+)
+SELECT doc_id, lang, dup_count FROM ranked WHERE rn = 1 ORDER BY lang
+""",
+    "prefix_search_terms": ORACLE_PRELUDE
+    + """
+SELECT term, df AS doc_freq FROM dfreq WHERE term LIKE 's%'
+ORDER BY doc_freq DESC, term ASC LIMIT 10
+""",
+    "suggest_spellcheck": ORACLE_PRELUDE
+    + """
+SELECT term, df AS doc_freq, levenshtein(term, 'tabel')::INTEGER AS dist
+FROM dfreq
+WHERE levenshtein(term, 'tabel') <= 2 AND term <> 'tabel'
+ORDER BY dist ASC, doc_freq DESC, term ASC LIMIT 10
+""",
+    "similar_documents": ORACLE_PRELUDE
+    + """
+, seed AS (
+  SELECT tf.term FROM tf JOIN dfreq USING (term) CROSS JOIN cs
+  WHERE tf.doc_id = 7 AND dfreq.df <= 0.1 * cs.n
+)
+SELECT tf.doc_id, count(*)::BIGINT AS shared_terms
+FROM tf WHERE tf.term IN (SELECT term FROM seed) AND tf.doc_id <> 7
+GROUP BY tf.doc_id
+ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
+""",
+}

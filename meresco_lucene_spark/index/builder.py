@@ -1,0 +1,247 @@
+"""Inverted-index build as a declarative DataFrame pipeline.
+
+Reference behavior being reproduced (not ported): Lucene's IndexWriter
+builds, per segment, sorted (term -> postings(docID, tf, positions))
+plus doc-values and norms (reference Lucene.java:160-171, 920-945).
+
+Spark-first restatement:
+
+    corpus DF --tokenize (Arrow UDF)--> tokens
+        --posexplode--> (doc_id, pos, term)
+        --groupBy(term, doc_id)--> tf + sorted positions   [partial agg, 1 shuffle]
+        --groupBy(term)--> df/cf term stats                [partial agg, 1 shuffle]
+
+Everything stays in whole-stage-codegen'd built-ins except the tokenizer
+(vectorized pandas UDF, Arrow-batched).  The per-doc "norm" (Lucene's
+quantized document length, SmallFloat int4 round-trip) is precomputed at
+build time into ``field_lengths.norm_dl`` so query-time scoring is pure
+column arithmetic.
+
+The compressed, shard-partitioned on-disk segment format (delta+varint
+blocks, block-max scores for WAND, lineage rows for resume) lives in
+``index/segments.py``; this module is the in-memory/DataFrame form that
+all query operators consume.
+
+Scale notes (100 TB design):
+- the two groupBys are the only shuffles; both are partial-aggregated
+  map-side first (Spark HashAggregate partial/final), exactly the
+  reference's SubCollector/complete() pattern (SuperCollector.java:38-53);
+- postings are hash-partitioned by term at the shuffle — skewed hot
+  terms ("import", "return") are handled in segments.py via salted
+  sharding; the DataFrame form relies on AQE skew handling;
+- doc ids must be *stable* (a pure function of the input, never of
+  partitioning) so checkpoint resume keeps rank-identity — callers
+  supply them (the testdata has doc_id; the corpus synthesizer derives
+  them from (repo, path, commit) ordering).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meresco_lucene_spark.analysis.tokenizer import tokenize_udf
+from meresco_lucene_spark.query.bm25 import (
+    K1_DEFAULT,
+    B_DEFAULT,
+    quantize_dl,
+)
+
+
+@F.pandas_udf(T.LongType())
+def _norm_dl_udf(dl: pd.Series) -> pd.Series:
+    """dl -> Lucene-quantized dl (SmallFloat int4 round-trip), vectorized."""
+    return pd.Series(quantize_dl(dl.to_numpy()))
+
+
+@dataclass
+class FieldStats:
+    n_docs: int
+    sum_dl: int
+    omit_norms: bool = False
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_dl / self.n_docs if self.n_docs else 1.0
+
+
+@dataclass
+class InvertedIndex:
+    """DataFrame-shaped inverted index over one "core".
+
+    Tables:
+      forward        : the input rows (doc_id + stored/sortable columns)
+      postings       : (field, term, doc_id, tf[, positions])
+      field_lengths  : (field, doc_id, dl, norm_dl)
+      term_stats     : (field, term, df, cf)
+    plus per-field corpus stats (N, sum_dl -> avgdl).
+    """
+
+    spark: SparkSession
+    id_col: str
+    forward: DataFrame
+    postings: DataFrame
+    field_lengths: DataFrame
+    term_stats: DataFrame
+    stats: dict[str, FieldStats]
+    n_docs: int
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    has_positions: bool = True
+    facet_fields: dict[str, list[str]] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str,
+        text_cols: list[str] | None = None,
+        keyword_cols: list[str] | None = None,
+        positions: bool = True,
+        k1: float = K1_DEFAULT,
+        b: float = B_DEFAULT,
+        cache: bool = True,
+        facet_fields: dict[str, list[str]] | None = None,
+    ) -> "InvertedIndex":
+        """Build the index.
+
+        text_cols    : analyzed full-text fields (reference TextField)
+        keyword_cols : untokenized single-term fields (reference
+                       StringField / ``untokenized.`` prefix convention,
+                       fieldregistry.py:31-37) — tf=1, norms omitted
+        facet_fields : facet dim -> list of path columns (reference
+                       taxonomy facets; a 1-element list is a flat dim)
+        """
+        spark = df.sparkSession
+        text_cols = list(text_cols or [])
+        keyword_cols = list(keyword_cols or [])
+        doc = F.col(id_col).alias("doc_id")
+
+        posting_parts: list[DataFrame] = []
+        length_parts: list[DataFrame] = []
+        for col in text_cols:
+            toks = df.select(doc, tokenize_udf(F.col(col)).alias("tokens"))
+            exploded = toks.select(
+                "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
+            ).filter(F.col("term").isNotNull())
+            agg_cols = [F.count("*").cast("long").alias("tf")]
+            if positions:
+                agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+            p = (
+                exploded.groupBy("term", "doc_id")
+                .agg(*agg_cols)
+                .withColumn("field", F.lit(col))
+            )
+            if not positions:
+                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+            posting_parts.append(p.select("field", "term", "doc_id", "tf", "positions"))
+            length_parts.append(
+                toks.select(
+                    F.lit(col).alias("field"),
+                    "doc_id",
+                    F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl"),
+                )
+            )
+        for col in keyword_cols:
+            kw = df.filter(F.col(col).isNotNull()).select(
+                F.lit(col).alias("field"),
+                F.col(col).cast("string").alias("term"),
+                doc,
+                F.lit(1).cast("long").alias("tf"),
+                F.array(F.lit(0)).alias("positions"),
+            )
+            posting_parts.append(kw)
+            # Keyword fields omit norms: dl recorded as 1 for completeness.
+            length_parts.append(
+                df.filter(F.col(col).isNotNull()).select(
+                    F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
+                )
+            )
+
+        if not posting_parts:
+            raise ValueError("at least one text or keyword column required")
+
+        postings = posting_parts[0]
+        for p in posting_parts[1:]:
+            postings = postings.unionByName(p)
+        field_lengths = length_parts[0]
+        for p in length_parts[1:]:
+            field_lengths = field_lengths.unionByName(p)
+        field_lengths = field_lengths.withColumn("norm_dl", _norm_dl_udf(F.col("dl")))
+
+        term_stats = postings.groupBy("field", "term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+
+        forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
+
+        if cache:
+            postings = postings.persist()
+            field_lengths = field_lengths.persist()
+            term_stats = term_stats.persist()
+
+        n_docs = df.count()
+        stats: dict[str, FieldStats] = {}
+        stat_rows = (
+            field_lengths.groupBy("field")
+            .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
+            .collect()
+        )
+        omit = set(keyword_cols)
+        for r in stat_rows:
+            stats[r["field"]] = FieldStats(
+                n_docs=r["nd"], sum_dl=int(r["sdl"]), omit_norms=r["field"] in omit
+            )
+
+        return InvertedIndex(
+            spark=spark,
+            id_col="doc_id",
+            forward=forward,
+            postings=postings,
+            field_lengths=field_lengths,
+            term_stats=term_stats,
+            stats=stats,
+            n_docs=n_docs,
+            k1=k1,
+            b=b,
+            has_positions=positions,
+            facet_fields=dict(facet_fields or {}),
+        )
+
+    # --------------------------------------------------------------- helpers
+    def field_stats(self, fld: str) -> FieldStats:
+        if fld not in self.stats:
+            # Field never indexed: empty stats (queries return no hits).
+            return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
+        return self.stats[fld]
+
+    def postings_for(self, fld: str) -> DataFrame:
+        return self.postings.filter(F.col("field") == fld)
+
+    def lengths_for(self, fld: str) -> DataFrame:
+        return self.field_lengths.filter(F.col("field") == fld).select(
+            "doc_id", "dl", "norm_dl"
+        )
+
+    def term_stats_for(self, fld: str) -> DataFrame:
+        return self.term_stats.filter(F.col("field") == fld).select("term", "df", "cf")
+
+    def num_docs(self) -> int:
+        """Reference Lucene.java:668-674 numDocs."""
+        return self.n_docs
+
+    def fieldnames(self) -> list[str]:
+        """Reference Lucene.java:676-691 fieldnames."""
+        return [r["field"] for r in self.postings.select("field").distinct().collect()]
+
+    def unpersist(self) -> None:
+        for d in (self.postings, self.field_lengths, self.term_stats):
+            try:
+                d.unpersist()
+            except Exception:
+                pass

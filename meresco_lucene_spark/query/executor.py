@@ -1,0 +1,501 @@
+"""Query execution: Q IR -> Catalyst plan over the index tables.
+
+Reproduces the reference's single-core query surface
+(Lucene.executeQuery, Lucene.java:247-349): query + filterQueries +
+excludeQueries + facets + sortKeys + start/stop pagination + dedup —
+each recast as DataFrame ops:
+
+  TermQuery     -> postings filter + stats joins + BM25 column expr
+  BooleanQuery  -> union of scoring-clause frames + groupBy sum(score)
+                   with a matched-MUST count gate; FILTER -> left_semi;
+                   MUST_NOT -> left_anti              (Q3 in SURVEY §2.2)
+  PhraseQuery   -> per-term postings joins + position-adjacency HOFs
+  Prefix/Wildcard -> term-range scan, constant score (Lucene rewrite)
+  RangeQuery    -> plain column predicate on the forward table
+  dedup         -> Window.partitionBy(key) + row_number / count
+                   (DeDupFilterSuperCollector.java:43-109)
+  facets        -> hits ⋈ forward groupBy counts
+                   (FacetSuperCollector.java:43-99)
+  top-k         -> orderBy(score desc, doc_id asc).limit  — Spark's
+                   TakeOrderedAndProject is the partial/final merge the
+                   reference builds by hand in TopScoreDocSuperCollector
+
+The per-slice SubCollector / complete() merge of the reference's
+SuperCollector framework (SuperCollector.java:38-53) is exactly Spark's
+partial aggregation; nothing imperative remains here — every function
+returns a lazy DataFrame and Catalyst does pushdown/broadcast/AQE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Sequence
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:  # avoid circular import (builder imports query.bm25)
+    from meresco_lucene_spark.index.builder import InvertedIndex
+from meresco_lucene_spark.query.bm25 import (
+    bm25_score_expr,
+    idf_expr,
+    tf_norm_expr,
+    term_frequency_score_expr,
+)
+from meresco_lucene_spark.query.ir import FILTER, MUST, MUST_NOT, SHOULD, Q
+
+# --------------------------------------------------------------------------- hits
+
+
+def hits(index: InvertedIndex, q: Q, quantized: bool | None = None) -> DataFrame:
+    """Scored hit frame for a query: DataFrame(doc_id, score)."""
+    quantized = index_quantized(index, quantized)
+    t = q.type
+    if t == "MatchAllDocsQuery":
+        return index.forward.select(
+            "doc_id", F.lit(1.0 * q.boost).alias("score")
+        )
+    if t == "TermQuery":
+        return _term_hits(index, q.field, q.value, q.boost, quantized)
+    if t == "BooleanQuery":
+        return _bool_hits(index, q, quantized)
+    if t == "PhraseQuery":
+        return _phrase_hits(index, q, quantized)
+    if t == "PrefixQuery":
+        return _multi_term_hits(
+            index, q.field, F.col("term").startswith(q.value), q.boost
+        )
+    if t == "WildcardQuery":
+        pattern = "^" + "".join(
+            {"?": ".", "*": ".*"}.get(c, _re_escape(c)) for c in q.value
+        ) + "$"
+        return _multi_term_hits(index, q.field, F.col("term").rlike(pattern), q.boost)
+    if t == "RangeQuery":
+        return _range_hits(index, q)
+    if t == "DrillDown":
+        return _drilldown_hits(index, q)
+    raise ValueError(f"unsupported query type {t}")
+
+
+def index_quantized(index: InvertedIndex, override: bool | None) -> bool:
+    if override is not None:
+        return override
+    return bool(getattr(index, "quantized", False))
+
+
+def _re_escape(c: str) -> str:
+    import re
+
+    return re.escape(c)
+
+
+def _dl_col(stats_omit_norms: bool, quantized: bool) -> Column:
+    if stats_omit_norms:
+        # Norms omitted (StringField / NoTermsFrequencyField,
+        # DocumentStringToDocument.java:97-98): Lucene's norm term
+        # collapses to 1 -> tfNorm = tf / (tf + k1).
+        return F.lit(None)
+    return F.col("norm_dl") if quantized else F.col("dl")
+
+
+def _term_hits(
+    index: InvertedIndex,
+    fld: str,
+    value: str,
+    boost: float,
+    quantized: bool,
+    similarity: str | None = None,
+) -> DataFrame:
+    st = index.field_stats(fld)
+    p = index.postings_for(fld).filter(F.col("term") == value).select("doc_id", "tf")
+    sim = similarity or getattr(index, "similarity", "BM25")
+    if sim == "TermFrequency":
+        # reference search/TermFrequencySimilarity.java:40-58
+        return p.select("doc_id", term_frequency_score_expr(F.col("tf"), boost).alias("score"))
+    tstats = (
+        index.term_stats_for(fld).filter(F.col("term") == value).select(
+            F.col("df").alias("_df")
+        )
+    )
+    scored = p.crossJoin(F.broadcast(tstats))
+    if st.omit_norms:
+        score = (
+            idf_expr(F.col("_df"), st.n_docs)
+            * (F.col("tf").cast("double") / (F.col("tf") + F.lit(index.k1)))
+            * F.lit(boost)
+        )
+        return scored.select("doc_id", score.alias("score"))
+    lengths = index.lengths_for(fld)
+    dl = F.col("norm_dl") if quantized else F.col("dl")
+    scored = scored.join(lengths, "doc_id")
+    score = bm25_score_expr(
+        F.col("tf"), F.col("_df"), dl, st.n_docs, st.avgdl, index.k1, index.b, boost
+    )
+    return scored.select("doc_id", score.alias("score"))
+
+
+def _multi_term_hits(
+    index: InvertedIndex, fld: str, term_pred: Column, boost: float
+) -> DataFrame:
+    """Prefix/Wildcard: Lucene 8 rewrites to a constant-score query over
+    the union of matching terms' postings (JsonQueryConverter.java:207-211)."""
+    p = index.postings_for(fld).filter(term_pred)
+    return p.select("doc_id").distinct().select(
+        "doc_id", F.lit(1.0 * boost).alias("score")
+    )
+
+
+def _range_hits(index: InvertedIndex, q: Q) -> DataFrame:
+    """Range over a forward-table column (reference point/term ranges,
+    JsonQueryConverter.java:296-331). Constant score 1."""
+    col = F.col(q.field)
+    pred = F.lit(True)
+    if q.lower is not None:
+        pred = pred & (col >= q.lower if q.include_lower else col > q.lower)
+    if q.upper is not None:
+        pred = pred & (col <= q.upper if q.include_upper else col < q.upper)
+    return index.forward.filter(pred).select(
+        "doc_id", F.lit(1.0 * q.boost).alias("score")
+    )
+
+
+def _drilldown_hits(index: InvertedIndex, q: Q) -> DataFrame:
+    """Facet drilldown: filter forward rows whose facet path for dim
+    starts with the given path (Lucene.java:763-774)."""
+    cols = index.facet_fields.get(q.field, [q.field])
+    pred = F.lit(True)
+    for c, v in zip(cols, q.terms):
+        pred = pred & (F.col(c) == v)
+    return index.forward.filter(pred).select(
+        "doc_id", F.lit(1.0 * q.boost).alias("score")
+    )
+
+
+def _bool_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
+    musts = [c for occ, c in q.clauses if occ == MUST]
+    shoulds = [c for occ, c in q.clauses if occ == SHOULD]
+    filters = [c for occ, c in q.clauses if occ == FILTER]
+    nots = [c for occ, c in q.clauses if occ == MUST_NOT]
+
+    scoring: list[tuple[Q, bool]] = [(c, True) for c in musts] + [
+        (c, False) for c in shoulds
+    ]
+    if scoring:
+        frames = [
+            hits(index, c, quantized).select(
+                "doc_id", "score", F.lit(1 if is_must else 0).alias("is_must")
+            )
+            for c, is_must in scoring
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        base = (
+            u.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"), F.sum("is_must").alias("_nm"))
+            .filter(F.col("_nm") == len(musts))
+            .select("doc_id", "score")
+        )
+    else:
+        # Pure filter/not query: matches score 0 (Lucene FILTER semantics).
+        base = index.forward.select("doc_id", F.lit(0.0).alias("score"))
+
+    for c in filters:
+        base = base.join(
+            hits(index, c, quantized).select("doc_id"), "doc_id", "left_semi"
+        )
+    for c in nots:
+        base = base.join(
+            hits(index, c, quantized).select("doc_id"), "doc_id", "left_anti"
+        )
+    if q.boost != 1.0:
+        base = base.select("doc_id", (F.col("score") * q.boost).alias("score"))
+    return base
+
+
+def _phrase_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
+    """Ordered-adjacent phrase match via per-term position arrays.
+
+    Matching: positions p in terms[0] with p+i present in terms[i] for
+    all i. Scoring follows Lucene's PhraseQuery: tf = phrase frequency,
+    weight idf = sum of per-term idfs."""
+    if not index.has_positions:
+        raise ValueError("index built without positions; phrase queries unavailable")
+    terms = list(q.terms)
+    if len(terms) == 1:
+        return _term_hits(index, q.field, terms[0], q.boost, quantized)
+    st = index.field_stats(q.field)
+
+    joined: DataFrame | None = None
+    for i, t in enumerate(terms):
+        p = (
+            index.postings_for(q.field)
+            .filter(F.col("term") == t)
+            .select("doc_id", F.col("positions").alias(f"_p{i}"))
+        )
+        joined = p if joined is None else joined.join(p, "doc_id")
+
+    conds = " AND ".join(
+        f"exists(_p{i}, y -> y = x + {i})" for i in range(1, len(terms))
+    )
+    phrase_freq = F.expr(f"size(filter(_p0, x -> {conds}))")
+    cand = joined.withColumn("_pf", phrase_freq).filter(F.col("_pf") > 0)
+
+    # Sum of idfs of the phrase terms (duplicates counted per occurrence,
+    # as Lucene's PhraseWeight does).
+    tstats = index.term_stats_for(q.field).filter(F.col("term").isin(terms))
+    per_term_idf = tstats.select(
+        F.col("term"), idf_expr(F.col("df"), st.n_docs).alias("_idf")
+    )
+    import pandas as pd  # driver-side tiny frame
+
+    term_counts = {}
+    for t in terms:
+        term_counts[t] = term_counts.get(t, 0) + 1
+    weights = index.spark.createDataFrame(
+        pd.DataFrame({"term": list(term_counts), "_w": list(term_counts.values())})
+    )
+    idf_sum = (
+        per_term_idf.join(F.broadcast(weights), "term")
+        .agg(F.sum(F.col("_idf") * F.col("_w")).alias("_idf_sum"))
+    )
+
+    cand = cand.crossJoin(F.broadcast(idf_sum))
+    lengths = index.lengths_for(q.field)
+    dl = F.col("norm_dl") if quantized else F.col("dl")
+    cand = cand.join(lengths, "doc_id")
+    score = (
+        F.col("_idf_sum")
+        * tf_norm_expr(F.col("_pf"), dl, st.avgdl, index.k1, index.b)
+        * F.lit(q.boost)
+    )
+    return cand.select("doc_id", score.alias("score"))
+
+
+# ------------------------------------------------------------------- search API
+
+
+@dataclass
+class Hit:
+    id: Any
+    score: float
+    duplicateCount: int | None = None
+    fields: dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class LuceneResponse:
+    """Mirror of the reference response (luceneresponse.py:34-46)."""
+
+    total: int
+    hits: list[Hit]
+    totalWithDuplicates: int | None = None
+    drilldownData: list[dict] = dc_field(default_factory=list)
+
+
+def _missing_value_order(col: Column, descending: bool, missing_value: Any) -> Column:
+    """Sort-key missing-value semantics (JsonQueryConverter.java:78-141 +
+    fieldregistry.py:109-112 defaults: STRING_FIRST/STRING_LAST; numeric
+    sorts fill ±MAX)."""
+    if missing_value == "STRING_FIRST":
+        return col.desc_nulls_last() if descending else col.asc_nulls_first()
+    if missing_value == "STRING_LAST":
+        return col.desc_nulls_first() if descending else col.asc_nulls_last()
+    if missing_value is not None:
+        col = F.coalesce(col, F.lit(missing_value))
+    return col.desc() if descending else col.asc()
+
+
+def sort_exprs(sort_keys: Sequence[dict] | None) -> list[Column]:
+    """sortKeys dicts use the reference client format:
+    {"sortBy": field, "sortDescending": bool, "missingValue": ...};
+    sortBy "score" sorts on relevance."""
+    out: list[Column] = []
+    for sk in sort_keys or []:
+        fld = sk["sortBy"]
+        desc = bool(sk.get("sortDescending", False))
+        if fld == "score":
+            out.append(F.col("score").desc() if desc else F.col("score").asc())
+        else:
+            out.append(
+                _missing_value_order(F.col(fld), desc, sk.get("missingValue"))
+            )
+    if not sort_keys:
+        out.append(F.col("score").desc())
+    out.append(F.col("doc_id").asc())
+    return out
+
+
+def scored_hits_df(
+    index: InvertedIndex,
+    query: Q | None = None,
+    filter_queries: Sequence[Q] = (),
+    exclude_queries: Sequence[Q] = (),
+    key_filters: Sequence[tuple[DataFrame, str, bool]] = (),
+    quantized: bool | None = None,
+) -> DataFrame:
+    """Hit frame after filters/excludes/key-set joins.
+
+    key_filters: (keys_df with single column key, key_field_in_forward,
+    inverted) triples — the composed-query KeyFilter (queries/KeyFilter.java:46-124):
+    semi-join normally, anti-join when inverted."""
+    h = hits(index, query or Q.matchall(), quantized)
+    for fq in filter_queries:
+        h = h.join(hits(index, fq, quantized).select("doc_id"), "doc_id", "left_semi")
+    for eq in exclude_queries:
+        h = h.join(hits(index, eq, quantized).select("doc_id"), "doc_id", "left_anti")
+    if key_filters:
+        fwd = index.forward
+        for keys_df, key_field, inverted in key_filters:
+            key_col = keys_df.columns[0]
+            doc_keys = fwd.select("doc_id", F.col(key_field).alias("_k")).filter(
+                F.col(key_field).isNotNull()
+            )
+            matched = doc_keys.join(
+                keys_df.withColumnRenamed(key_col, "_k").distinct(), "_k", "left_semi"
+            ).select("doc_id")
+            how = "left_anti" if inverted else "left_semi"
+            h = h.join(matched, "doc_id", how)
+    return h
+
+
+def search(
+    index: InvertedIndex,
+    query: Q | None = None,
+    filter_queries: Sequence[Q] = (),
+    exclude_queries: Sequence[Q] = (),
+    key_filters: Sequence[tuple[DataFrame, str, bool]] = (),
+    start: int = 0,
+    stop: int = 10,
+    sort_keys: Sequence[dict] | None = None,
+    facets: Sequence[dict] = (),
+    dedup_field: str | None = None,
+    dedup_sort_fields: Sequence[dict] = (),
+    stored_fields: Sequence[str] = (),
+    score_adjust: "callable | None" = None,
+    quantized: bool | None = None,
+) -> LuceneResponse:
+    """The reference's executeQuery in one pass (Lucene.java:247-349).
+
+    Pagination semantics (LuceneTest.java:363-394): ``total`` is the full
+    match count; the returned page is hits[start:stop]. start defaults 0,
+    stop 10 (_lucene.py:98-99).
+
+    score_adjust: optional fn(hits_df)->hits_df applied before ranking —
+    the composed-query rank-blend hook (AggregateScoreSuperCollector)."""
+    h = scored_hits_df(index, query, filter_queries, exclude_queries, key_filters, quantized)
+    if score_adjust is not None:
+        h = score_adjust(h)
+
+    needed = set(stored_fields)
+    if dedup_field:
+        needed.add(dedup_field)
+        for sk in dedup_sort_fields:
+            needed.add(sk["sortBy"])
+    for sk in sort_keys or []:
+        if sk["sortBy"] != "score":
+            needed.add(sk["sortBy"])
+    if needed:
+        h = h.join(index.forward.select("doc_id", *sorted(needed)), "doc_id", "left")
+
+    drilldown = [
+        facet_counts(index, h, f) for f in facets
+    ]  # facets see all (pre-dedup) hits, like FacetSuperCollector
+
+    total_with_dupes = None
+    if dedup_field:
+        # DeDupFilterSuperCollector (search/DeDupFilterSuperCollector.java:43-109):
+        # group by the dedup key doc-value, keep the best doc per group
+        # (by dedup sort fields, else highest score), report per-group
+        # counts and the pre-dedup total. Docs without a key value are
+        # their own group.
+        total_with_dupes = h.count()
+        group = F.coalesce(
+            F.col(dedup_field).cast("string"),
+            F.concat(F.lit("__doc__"), F.col("doc_id").cast("string")),
+        )
+        if dedup_sort_fields:
+            order = [
+                (F.col(sk["sortBy"]).desc() if sk.get("sortDescending") else F.col(sk["sortBy"]).asc())
+                for sk in dedup_sort_fields
+            ]
+        else:
+            order = [F.col("score").desc()]
+        order.append(F.col("doc_id").asc())
+        w = Window.partitionBy(group).orderBy(*order)
+        h = (
+            h.withColumn("_rn", F.row_number().over(w))
+            .withColumn("duplicateCount", F.count("*").over(Window.partitionBy(group)))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    total = h.count()
+    ordered = h.orderBy(*sort_exprs(sort_keys))
+    rows = ordered.limit(stop).collect()[start:stop]
+    hits_out = []
+    for r in rows:
+        d = r.asDict()
+        hits_out.append(
+            Hit(
+                id=d["doc_id"],
+                score=float(d["score"]) if d["score"] is not None else 0.0,
+                duplicateCount=d.get("duplicateCount"),
+                fields={k: d[k] for k in stored_fields},
+            )
+        )
+    return LuceneResponse(
+        total=total,
+        hits=hits_out,
+        totalWithDuplicates=total_with_dupes,
+        drilldownData=drilldown,
+    )
+
+
+def facet_counts(index: InvertedIndex, hits_df: DataFrame, facet: dict) -> dict:
+    """One facet dim's counts (FacetSuperCollector.java:43-99 merged form).
+
+    facet: {"fieldname": dim, "maxTerms": n (0 = unlimited), "path": [...]}.
+    Hierarchical dims follow index.facet_fields[dim]; counts at path
+    depth len(path) (Lucene.java:611-627 recursion, flattened)."""
+    dim = facet["fieldname"]
+    max_terms = int(facet.get("maxTerms", 10))
+    path = list(facet.get("path", ()))
+    df = facet_counts_df(index, hits_df, dim, path)
+    if max_terms:
+        df = df.limit(max_terms)
+    terms = [{"term": r["term"], "count": r["count"]} for r in df.collect()]
+    out = {"fieldname": dim, "terms": terms}
+    if path:
+        out["path"] = path
+    return out
+
+
+def facet_counts_df(
+    index: InvertedIndex, hits_df: DataFrame, dim: str, path: Sequence[str] = ()
+) -> DataFrame:
+    """DataFrame form of facet counts: (term, count) ordered by count
+    desc, term asc."""
+    cols = index.facet_fields.get(dim, [dim])
+    depth = len(path)
+    if depth >= len(cols):
+        raise ValueError(f"facet path {path} deeper than dim {dim}")
+    fwd = index.forward
+    pred = F.lit(True)
+    for c, v in zip(cols, path):
+        pred = pred & (F.col(c) == v)
+    level_col = cols[depth]
+    joined = (
+        fwd.filter(pred)
+        .filter(F.col(level_col).isNotNull())
+        .select("doc_id", F.col(level_col).cast("string").alias("term"))
+        .join(hits_df.select("doc_id"), "doc_id", "left_semi")
+    )
+    return (
+        joined.groupBy("term")
+        .agg(F.count("*").cast("long").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+    )
