@@ -1,0 +1,161 @@
+"""Compressed segment store: WAND rank-identity, salted sharding fan-in,
+lineage completeness, crash-resume identity (SURVEY.md §7.2 items 3/4/7/11)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.corpus import synthesize_corpus
+from meresco_lucene_spark.index.segments import SegmentIndex, build_segments
+from meresco_lucene_spark.query.bm25 import bm25_score_numpy
+
+N_DOCS = 400
+N_SHARDS = 8
+SALTS = 4
+
+
+@pytest.fixture(scope="module")
+def seg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segs") / "idx")
+    corpus = synthesize_corpus(spark, N_DOCS, seed=42, partitions=4).persist()
+    corpus.count()
+    s = build_segments(
+        corpus, out, n_shards=N_SHARDS, salt_buckets=SALTS, block_size=32
+    )
+    yield s
+    corpus.unpersist()
+
+
+def exhaustive_topk(spark, seg, term, k=10):
+    post = seg.term_postings(term).toPandas()
+    if not len(post):
+        return []
+    docs = spark.read.parquet(os.path.join(seg.out_dir, "docs")).toPandas().set_index("doc_id")
+    dft = seg.term_stats.filter(F.col("term") == term).collect()[0]["df"]
+    s = bm25_score_numpy(
+        post["tf"].to_numpy(float),
+        float(dft),
+        docs.loc[post["doc_id"], "dl"].to_numpy(float),
+        seg.meta["n_docs"],
+        seg.meta["avgdl"],
+    )
+    ranked = sorted(zip(s, post["doc_id"]), key=lambda x: (-x[0], x[1]))[:k]
+    return [(int(d), round(float(sc), 9)) for sc, d in ranked]
+
+
+@pytest.mark.parametrize("term", ["import", "return", "def", "self", "fn", "int", "nosuchterm"])
+def test_wand_rank_identity(spark, seg, term):
+    """Block-max WAND must be rank- AND score-identical to exhaustive
+    scoring (SURVEY §7.2 item 7)."""
+    got = [(r.doc_id, round(r.score, 9)) for r in seg.term_topk(term, 10).collect()]
+    assert got == exhaustive_topk(spark, seg, term, 10)
+
+
+def test_hot_term_salted(seg):
+    """df >= 5% of docs => postings spread over salt_buckets shards."""
+    assert len(seg.term_shards("import")) == SALTS
+    shards = (
+        seg.blocks_for_term("import").select("shard").distinct().collect()
+    )
+    assert len(shards) > 1  # actually spread on disk, not just declared
+
+
+def test_rare_term_single_shard(spark, seg):
+    rare = (
+        seg.term_stats.filter(F.col("df") == 1).select("term").limit(1).collect()
+    )
+    assert rare, "corpus should contain unique sym_* terms"
+    t = rare[0]["term"]
+    assert len(seg.term_shards(t)) == 1
+
+
+def test_fan_in_counts(spark, seg):
+    """Decoded postings across salted shards == df (no loss, no dupes)."""
+    for term in ["import", "def"]:
+        dft = seg.term_stats.filter(F.col("term") == term).collect()[0]["df"]
+        decoded = seg.term_postings(term)
+        assert decoded.count() == dft
+        assert decoded.select("doc_id").distinct().count() == dft
+
+
+def test_lineage_complete(spark, seg):
+    lin = spark.read.parquet(os.path.join(seg.out_dir, "lineage"))
+    rows = lin.collect()
+    assert {r["shard"] for r in rows} == set(range(N_SHARDS))
+    # postings accounted: sum over shards == total postings rows
+    total = sum(r["n_postings"] for r in rows)
+    flat_total = seg.postings.agg(F.sum("doc_count")).collect()[0][0]
+    assert total == flat_total
+
+
+def _logical_content(spark, out_dir):
+    df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    rows = df.select(
+        "shard", "term", "block_id",
+        F.sha2("doc_bytes", 256).alias("dh"),
+        F.sha2("tf_bytes", 256).alias("th"),
+        F.sha2("dl_bytes", 256).alias("lh"),
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_crash_resume_identical(spark, tmp_path):
+    """Kill-and-rerun (SURVEY §7.2 item 11): wipe two shards — one with
+    its lineage row removed (simulating commit-then-crash is NOT possible:
+    lineage is written after data; so we simulate crash-before-lineage by
+    deleting both data+lineage for one shard, and crash-mid-write by
+    leaving a partial shard dir with no lineage row). Resume must rebuild
+    exactly the missing shards and reproduce identical logical content."""
+    corpus = synthesize_corpus(spark, 150, seed=9, partitions=2).persist()
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    build_segments(corpus, a_dir, n_shards=4, salt_buckets=2, block_size=16)
+    golden = _logical_content(spark, a_dir)
+
+    shutil.copytree(a_dir, b_dir)
+    # crash scenario 1: shard=1 fully lost along with its lineage row
+    # crash scenario 2: shard=2 partially written, lineage row missing
+    lin = pq.read_table(os.path.join(b_dir, "lineage")).to_pandas()
+    keep = lin[~lin["shard"].isin([1, 2])]
+    shutil.rmtree(os.path.join(b_dir, "lineage"))
+    os.makedirs(os.path.join(b_dir, "lineage"))
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(keep, preserve_index=False),
+        os.path.join(b_dir, "lineage", "part-0.parquet"),
+    )
+    shutil.rmtree(os.path.join(b_dir, "postings", "shard=1"))
+    # shard=2: delete one of its files to simulate partial write
+    files2 = glob.glob(os.path.join(b_dir, "postings", "shard=2", "*.parquet"))
+    assert files2
+    os.remove(files2[0])
+
+    seg_b = build_segments(
+        corpus, b_dir, n_shards=4, salt_buckets=2, block_size=16, resume=True,
+        run_id="resume1",
+    )
+    assert _logical_content(spark, b_dir) == golden
+    lin_b = spark.read.parquet(os.path.join(b_dir, "lineage"))
+    assert {r["shard"] for r in lin_b.collect()} == {0, 1, 2, 3}
+    # resumed shards tagged with the new run_id
+    resumed = {r["shard"] for r in lin_b.filter(F.col("run_id") == "resume1").collect()}
+    assert resumed == {1, 2}
+    corpus.unpersist()
+
+
+def test_resume_noop_when_complete(spark, tmp_path):
+    """Resume over a complete build rebuilds nothing (lineage rows keep
+    their original run_id)."""
+    corpus = synthesize_corpus(spark, 60, seed=3, partitions=2)
+    d = str(tmp_path / "c")
+    build_segments(corpus, d, n_shards=2, salt_buckets=2, run_id="orig")
+    golden = _logical_content(spark, d)
+    build_segments(corpus, d, n_shards=2, salt_buckets=2, resume=True, run_id="second")
+    assert _logical_content(spark, d) == golden
+    lin = spark.read.parquet(os.path.join(d, "lineage"))
+    assert {r["run_id"] for r in lin.collect()} == {"orig"}
