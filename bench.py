@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Benchmark harness: index-build throughput + headline query latencies.
+
+Default mode (driver contract): run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+  {"metric": ..., "value": <total suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "index_docs_per_sec": ..., "segment_docs_per_sec": ...}
+
+Scaling mode (BASELINE.md evidence): ``python3 bench.py --scaling`` runs
+the identical segment-index build at two parallelism levels (local[8]
+vs local[32]) in fresh JVMs and reports throughput + efficiency
+(= (thr_4N / thr_N) / 4), appending a row to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def build_spark(cores: int):
+    from meresco_lucene_spark.session import get_spark
+
+    return get_spark(
+        app_name="mls-bench",
+        cores=cores,
+        shuffle_partitions=cores,
+        driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def timed(fn) -> tuple[float, object]:
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from meresco_lucene_spark import entry_queries
+    from meresco_lucene_spark.corpus import synthesize_corpus
+    from meresco_lucene_spark.index.builder import InvertedIndex
+    from meresco_lucene_spark.index.segments import build_segments
+    from meresco_lucene_spark.query.executor import hits
+    from meresco_lucene_spark.query.ir import Q
+
+    queries: dict[str, float] = {}
+
+    # --- 1. DataFrame index build over the documents table ---------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t, idx = timed(
+        lambda: InvertedIndex.build(
+            docs,
+            id_col="doc_id",
+            text_cols=["text"],
+            keyword_cols=["lang", "source"],
+            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+        )
+    )
+    queries["index_build_documents"] = round(t, 3)
+    df_index_docs_per_sec = n_docs / t
+    entry_queries._INDEX_CACHE[(id(spark), sf_dir)] = idx
+
+    # --- 2. headline queries over that index -----------------------------
+    heads = [
+        "term_bm25_top10",
+        "bool_must_top10",
+        "bool_should_top10",
+        "phrase_match",
+        "facet_lang",
+        "dedup_by_lang",
+        "prefix_search_terms",
+        "similar_documents",
+    ]
+    for name in heads:
+        fn = entry_queries.QUERIES[name]
+        t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
+        queries[name] = round(t, 3)
+
+    # --- 3. segment build over the synthetic source-code corpus ----------
+    import shutil
+    import tempfile
+
+    seg_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_seg_{os.getpid()}")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    corpus = synthesize_corpus(spark, n_corpus, seed=42).persist()
+    corpus.count()
+    t, seg = timed(
+        lambda: build_segments(
+            corpus, seg_dir, n_shards=32, salt_buckets=8
+        )
+    )
+    queries["segment_build_corpus"] = round(t, 3)
+    seg_docs_per_sec = n_corpus / t
+
+    t, _ = timed(lambda: seg.term_topk("import", 10).collect())
+    queries["wand_term_top10"] = round(t, 3)
+    t, _ = timed(lambda: seg.term_topk("struct", 10).collect())
+    queries["wand_term_top10_mid"] = round(t, 3)
+
+    corpus.unpersist()
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(sf_dir),
+        "n_documents": n_docs,
+        "n_corpus": n_corpus,
+        "index_docs_per_sec": round(df_index_docs_per_sec, 1),
+        "segment_docs_per_sec": round(seg_docs_per_sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_corpus = int(os.environ.get("MLS_BENCH_CORPUS_ROWS", str(int(200_000 * _sf_of(sf_dir)))))
+    n_corpus = max(n_corpus, 1000)
+    spark = build_spark(cores)
+    out = run_suite(spark, sf_dir, n_corpus)
+    print(json.dumps(out))
+
+
+def scaling_child(cores: int, n_corpus: int) -> None:
+    """Run ONLY the segment build at a given parallelism; print docs/sec."""
+    spark = build_spark(cores)
+    import shutil
+    import tempfile
+
+    from meresco_lucene_spark.corpus import synthesize_corpus
+    from meresco_lucene_spark.index.segments import build_segments
+
+    seg_dir = os.path.join(tempfile.gettempdir(), f"mls_scale_seg_{cores}_{os.getpid()}")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    corpus = synthesize_corpus(spark, n_corpus, seed=42, partitions=cores * 2).persist()
+    corpus.count()
+    t0 = time.time()
+    build_segments(corpus, seg_dir, n_shards=max(cores, 8), salt_buckets=8)
+    dt = time.time() - t0
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    print(json.dumps({"cores": cores, "secs": round(dt, 2), "docs_per_sec": round(n_corpus / dt, 1)}))
+
+
+def scaling_main(n_corpus: int, lo: int = 8, hi: int = 32) -> None:
+    results = {}
+    for cores in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores), str(n_corpus)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+    thr_n, thr_4n = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+    eff = (thr_4n / thr_n) / (hi / lo)
+    out = {
+        "n_corpus": n_corpus,
+        f"docs_per_sec_local{lo}": thr_n,
+        f"docs_per_sec_local{hi}": thr_4n,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+        scaling_main(n)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

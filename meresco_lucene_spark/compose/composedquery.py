@@ -1,0 +1,337 @@
+"""Composed (multi-core) queries: the reference's cross-core relational
+algebra over integer key fields, restated as semi/anti/union joins.
+
+Execution order mirrors MultiLucene.multipleCoreQuery
+(MultiLucene.java:100-193):
+  1. filterKeys: unite key-set unions + other-core filter-query key sets
+  2. coreQueries: each other core's main query -> key set, ANDed in
+  3. rank queries -> per-key score frames, blended into result scores
+     (AggregateScoreSuperCollector.java:140-159:
+      score = (1-ratio)*own + ratio*prod(1 + other(key)), absent key -> 0)
+  4. excludeFilterKeys -> anti-joins
+  5. result-core query with all key filters, facets, sort, pagination
+  6. join facets: other-core facet counts restricted to keys collected
+     from the result hits (MultiLucene.java:171-186)
+
+Deviation from the reference, documented: ScoreSuperCollector keeps an
+arbitrary doc's score when several docs share a key (last-write-wins
+per segment, first-nonzero on merge, ScoreSuperCollector.java:66-93);
+we define it as max(score) per key — deterministic, and identical on
+the reference's fixtures where rank-core keys are unique.
+
+All key frames are tiny relative to the corpus ("bitsets" in the
+reference) -> every key join is broadcast; Catalyst turns the chains
+into broadcast semi/anti joins with no extra shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.query.executor import (
+    LuceneResponse,
+    facet_counts,
+    hits,
+    search,
+)
+from meresco_lucene_spark.query.ir import Q
+
+if TYPE_CHECKING:
+    from meresco_lucene_spark.index.builder import InvertedIndex
+    from meresco_lucene_spark.compose.relational import RQ
+
+
+@dataclass
+class Unite:
+    core_a: str
+    query_a: Q
+    core_b: str
+    query_b: Q
+
+
+@dataclass
+class ComposedQuery:
+    """Mirror of the reference client's ComposedQuery
+    (meresco/lucene/composedquery.py:36-146)."""
+
+    result_from: str
+    start: int = 0
+    stop: int = 10
+    queries: dict[str, Q] = dc_field(default_factory=dict)
+    filter_queries: dict[str, list[Q]] = dc_field(default_factory=dict)
+    exclude_filter_queries: dict[str, list[Q]] = dc_field(default_factory=dict)
+    rank_queries: dict[str, Q] = dc_field(default_factory=dict)
+    facets: dict[str, list[dict]] = dc_field(default_factory=dict)
+    drilldown_queries: dict[str, list[tuple[str, list[str]]]] = dc_field(
+        default_factory=dict
+    )
+    other_core_facet_filters: dict[str, list[Q]] = dc_field(default_factory=dict)
+    unites: list[Unite] = dc_field(default_factory=list)
+    matches: dict[tuple[str, str], str] = dc_field(default_factory=dict)
+    rank_query_score_ratio: float = 0.5
+    sort_keys: list[dict] = dc_field(default_factory=list)
+    dedup_field: str | None = None
+    dedup_sort_fields: list[dict] = dc_field(default_factory=list)
+    stored_fields: list[str] = dc_field(default_factory=list)
+    relational_filter: "RQ | None" = None
+
+    def add_match(self, core_a: str, key_a: str, core_b: str, key_b: str) -> None:
+        """composedquery.py:119-132 addMatch: declare the key field each
+        side of a core pair joins on."""
+        self.matches[(core_a, core_b)] = key_a
+        self.matches[(core_b, core_a)] = key_b
+
+    def key_name(self, core: str, other: str) -> str:
+        """Key field of `core` in the match between core and other.
+
+        ComposedQuery.java:276-284: when core == other and no (core, core)
+        match exists, the FIRST registered match for that core wins."""
+        if (core, other) in self.matches:
+            return self.matches[(core, other)]
+        if core == other:
+            for (a, _b), key in self.matches.items():
+                if a == core:
+                    return key
+        raise KeyError(f"no match declared between {core} and {other}")
+
+    def set_core_query(self, core: str, query: Q) -> None:
+        self.queries[core] = query
+
+    def add_filter_query(self, core: str, query: Q) -> None:
+        self.filter_queries.setdefault(core, []).append(query)
+
+    def add_exclude_filter_query(self, core: str, query: Q) -> None:
+        self.exclude_filter_queries.setdefault(core, []).append(query)
+
+    def add_rank_query(self, core: str, query: Q) -> None:
+        self.rank_queries[core] = query
+
+    def add_facet(self, core: str, facet: dict) -> None:
+        self.facets.setdefault(core, []).append(facet)
+
+    def add_drilldown_query(self, core: str, dim: str, path: list[str]) -> None:
+        self.drilldown_queries.setdefault(core, []).append((dim, path))
+
+    def add_unite(self, core_a: str, query_a: Q, core_b: str, query_b: Q) -> None:
+        """Max one unite (composedquery.py:134-140)."""
+        if self.unites:
+            raise ValueError("only one unite supported (reference parity)")
+        self.unites.append(Unite(core_a, query_a, core_b, query_b))
+
+
+def _query_with_drilldowns(cq: ComposedQuery, core: str) -> Q | None:
+    """luceneQueryForCore (MultiLucene.java:270-276): fold the core's
+    drilldown queries into its main query as FILTER clauses."""
+    q = cq.queries.get(core)
+    dds = cq.drilldown_queries.get(core, [])
+    if not dds:
+        return q
+    clauses = [("MUST", q)] if q is not None else [("MUST", Q.matchall())]
+    for dim, path in dds:
+        clauses.append(("FILTER", Q.drilldown(dim, list(path))))
+    return Q.boolean(*clauses)
+
+
+def collect_keys(index: "InvertedIndex", query: Q | None, key_field: str) -> DataFrame:
+    """KeySuperCollector (search/join/KeySuperCollector.java:35-62): the
+    distinct key set of docs matching the query."""
+    h = hits(index, query or Q.matchall()).select("doc_id")
+    return (
+        index.forward.join(h, "doc_id", "left_semi")
+        .filter(F.col(key_field).isNotNull())
+        .select(F.col(key_field).alias("key"))
+        .distinct()
+    )
+
+
+def execute_composed(
+    cores: dict[str, "InvertedIndex"],
+    cq: ComposedQuery,
+    export_key: str | None = None,
+) -> LuceneResponse:
+    result_core = cq.result_from
+    result_idx = cores[result_core]
+    other_cores = [c for c in cores if c != result_core and _core_used(cq, c)]
+
+    # ---- 1. filterKeys (MultiLucene.java:195-233) -----------------------
+    key_filters: list[tuple[DataFrame, str, bool]] = []
+    unite_sets: dict[str, DataFrame] = {}
+    if cq.relational_filter is not None:
+        ks = cq.relational_filter.collect_keys(cores)
+        key_name = cq.key_name(result_core, result_core)
+        key_filters.append((ks.keys, key_name, ks.inverted))
+    for u in cq.unites:
+        result_key = cq.key_name(
+            u.core_a if result_core == u.core_a else u.core_b,
+            u.core_b if result_core == u.core_a else u.core_a,
+        )
+        ka = collect_keys(cores[u.core_a], u.query_a, cq.key_name(u.core_a, u.core_b))
+        kb = collect_keys(cores[u.core_b], u.query_b, cq.key_name(u.core_b, u.core_a))
+        merged = ka.unionByName(kb).distinct()
+        if result_key in unite_sets:
+            merged = unite_sets[result_key].unionByName(merged).distinct()
+        unite_sets[result_key] = merged
+    for name, ks in unite_sets.items():
+        key_filters.append((ks, name, False))
+
+    result_plain_filters: list[Q] = []
+    for core, qs in cq.filter_queries.items():
+        if core == result_core:
+            # Filters on the result core need no key indirection.
+            result_plain_filters.extend(qs)
+            continue
+        for fq in qs:
+            collected = collect_keys(cores[core], fq, cq.key_name(core, result_core))
+            key_filters.append((collected, cq.key_name(result_core, core), False))
+
+    # ---- 2. coreQueries (MultiLucene.java:279-290) ----------------------
+    for core in other_cores:
+        q = _query_with_drilldowns(cq, core)
+        if q is not None:
+            collected = collect_keys(cores[core], q, cq.key_name(core, result_core))
+            key_filters.append((collected, cq.key_name(result_core, core), False))
+
+    # ---- 4. excludeFilterKeys (MultiLucene.java:235-252) ----------------
+    for core, qs in cq.exclude_filter_queries.items():
+        for eq in qs:
+            collected = collect_keys(cores[core], eq, cq.key_name(core, result_core))
+            key_filters.append((collected, cq.key_name(result_core, core), True))
+
+    # ---- 3. rank queries -> blended scoring -----------------------------
+    score_adjust = None
+    rank_frames: list[tuple[str, DataFrame]] = []
+    for core, rq in cq.rank_queries.items():
+        # Rank queries may target the result core itself
+        # (MultiLuceneTest.java testMultipleRankQuery): the key falls back
+        # to the core's first declared match key.
+        other_key = cq.key_name(core, result_core)
+        result_key = cq.key_name(result_core, core)
+        scores = (
+            hits(cores[core], rq)
+            .join(
+                cores[core].forward.select(
+                    "doc_id", F.col(other_key).alias("key")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.max("score").alias("_other_score"))
+        )
+        rank_frames.append((result_key, scores))
+    if rank_frames:
+        ratio = cq.rank_query_score_ratio
+        # Reference chains one AggregateScoreSuperCollector per result key
+        # name (MultiLucene.java:300-321): within a key name the (1+s)
+        # factors multiply; across key names the blend formula nests.
+        # HashMap iteration order is replaced by sorted key names here.
+        groups: dict[str, list[int]] = {}
+        for i, (result_key, _scores) in enumerate(rank_frames):
+            groups.setdefault(result_key, []).append(i)
+
+        def score_adjust(h: DataFrame) -> DataFrame:
+            score = F.col("score")
+            for result_key in sorted(groups):
+                factor = F.lit(1.0)
+                for i in groups[result_key]:
+                    scores = rank_frames[i][1]
+                    keyed = result_idx.forward.select(
+                        "doc_id", F.col(result_key).alias(f"_k{i}")
+                    )
+                    h = h.join(keyed, "doc_id", "left").join(
+                        F.broadcast(
+                            scores.withColumnRenamed("key", f"_k{i}")
+                            .withColumnRenamed("_other_score", f"_os{i}")
+                        ),
+                        f"_k{i}",
+                        "left",
+                    )
+                    factor = factor * (
+                        F.lit(1.0) + F.coalesce(F.col(f"_os{i}"), F.lit(0.0))
+                    )
+                score = F.lit(1.0 - ratio) * score + F.lit(ratio) * factor
+            return h.select("doc_id", score.alias("score"))
+
+    # ---- 5. result-core query -------------------------------------------
+    result_query = _query_with_drilldowns(cq, result_core) or Q.matchall()
+    response = search(
+        result_idx,
+        result_query,
+        filter_queries=result_plain_filters,
+        key_filters=key_filters,
+        start=cq.start,
+        stop=cq.stop,
+        sort_keys=cq.sort_keys or None,
+        facets=cq.facets.get(result_core, []),
+        dedup_field=cq.dedup_field,
+        dedup_sort_fields=cq.dedup_sort_fields,
+        stored_fields=cq.stored_fields,
+        score_adjust=score_adjust,
+    )
+
+    # ---- 6. join facets + export keys (MultiLucene.java:171-190) --------
+    needs_hit_keys = export_key is not None or any(
+        cq.facets.get(c) for c in other_cores
+    )
+    if needs_hit_keys:
+        from meresco_lucene_spark.query.executor import scored_hits_df
+
+        all_hits = scored_hits_df(
+            result_idx,
+            result_query,
+            filter_queries=result_plain_filters,
+            key_filters=key_filters,
+        )
+        for core in other_cores:
+            facet_list = cq.facets.get(core)
+            if not facet_list:
+                continue
+            result_key = cq.key_name(result_core, core)
+            other_key = cq.key_name(core, result_core)
+            hit_keys = (
+                result_idx.forward.join(all_hits.select("doc_id"), "doc_id", "left_semi")
+                .filter(F.col(result_key).isNotNull())
+                .select(F.col(result_key).alias("key"))
+                .distinct()
+            )
+            other_idx = cores[core]
+            restricted = other_idx.forward.join(
+                F.broadcast(hit_keys.withColumnRenamed("key", other_key)),
+                other_key,
+                "left_semi",
+            ).select("doc_id")
+            extra_filters = [
+                q
+                for q in [cq.queries.get(core)]
+                + cq.other_core_facet_filters.get(core, [])
+                if q is not None
+            ]
+            fh = restricted
+            for fq in extra_filters:
+                fh = fh.join(hits(other_idx, fq).select("doc_id"), "doc_id", "left_semi")
+            for fc in facet_list:
+                response.drilldownData.append(facet_counts(other_idx, fh, fc))
+        if export_key is not None:
+            keys = (
+                result_idx.forward.join(all_hits.select("doc_id"), "doc_id", "left_semi")
+                .filter(F.col(export_key).isNotNull())
+                .select(F.col(export_key).alias("key"))
+                .distinct()
+            )
+            response.keys = sorted(r["key"] for r in keys.collect())
+    return response
+
+
+def _core_used(cq: ComposedQuery, core: str) -> bool:
+    return (
+        core in cq.queries
+        or core in cq.filter_queries
+        or core in cq.rank_queries
+        or core in cq.facets
+        or core in cq.exclude_filter_queries
+        or any(core in (u.core_a, u.core_b) for u in cq.unites)
+    )

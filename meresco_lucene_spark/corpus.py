@@ -43,10 +43,8 @@ HOT_P = _W / _W.sum()
 MEAN_TOKENS = 120
 
 
-def _row_rng(seed: int, ids: np.ndarray) -> np.ndarray:
-    """One independent numpy Generator per row id (counter-based => order-
-    and partition-independent determinism)."""
-    return [np.random.Generator(np.random.Philox(key=seed, counter=int(i))) for i in ids]
+_HOT_CUM = np.cumsum(HOT_P)
+_HOT_ARR = np.array(HOT_TERMS, dtype=object)
 
 
 def _make_rows(seed: int, ids: np.ndarray) -> pd.DataFrame:
@@ -63,15 +61,15 @@ def _make_rows(seed: int, ids: np.ndarray) -> pd.DataFrame:
         ]
     )
     contents = []
-    for j, rng in enumerate(_row_rng(seed, ids)):
+    for i in ids:
+        # Counter-based Philox per row id: order- and partition-independent.
+        rng = np.random.Generator(np.random.Philox(key=seed, counter=int(i)))
         n_tok = int(rng.integers(MEAN_TOKENS // 2, MEAN_TOKENS * 3 // 2 + 1))
         hot_mask = rng.random(n_tok) < 0.7
-        hot = rng.choice(len(HOT_TERMS), size=n_tok, p=HOT_P)
-        toks = np.where(
-            hot_mask,
-            np.array(HOT_TERMS)[hot],
-            np.array([f"sym_{ids[j]}_{k}" for k in range(n_tok)]),
-        )
+        hot_idx = np.searchsorted(_HOT_CUM, rng.random(n_tok), side="right")
+        toks = _HOT_ARR[np.minimum(hot_idx, len(HOT_TERMS) - 1)].copy()
+        for k in np.flatnonzero(~hot_mask):
+            toks[k] = f"sym_{i}_{k}"
         lines = [" ".join(toks[s : s + 8]) for s in range(0, n_tok, 8)]
         contents.append("\n".join(lines))
     return pd.DataFrame(

@@ -93,6 +93,11 @@ class InvertedIndex:
     b: float = B_DEFAULT
     has_positions: bool = True
     facet_fields: dict[str, list[str]] = field(default_factory=dict)
+    # "BM25" (default, LuceneSettings.java:53) or "TermFrequency"
+    # (search/TermFrequencySimilarity.java:40-58; per-core override, used
+    # by fixture coreC in MultiLuceneTest.java:72)
+    similarity: str = "BM25"
+    quantized: bool = False
 
     # ------------------------------------------------------------------ build
     @staticmethod
@@ -106,6 +111,8 @@ class InvertedIndex:
         b: float = B_DEFAULT,
         cache: bool = True,
         facet_fields: dict[str, list[str]] | None = None,
+        similarity: str = "BM25",
+        quantized: bool = False,
     ) -> "InvertedIndex":
         """Build the index.
 
@@ -211,6 +218,8 @@ class InvertedIndex:
             b=b,
             has_positions=positions,
             facet_fields=dict(facet_fields or {}),
+            similarity=similarity,
+            quantized=quantized,
         )
 
     # --------------------------------------------------------------- helpers

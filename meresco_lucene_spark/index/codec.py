@@ -18,15 +18,20 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64-bit worst case
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nz = np.maximum(v, 1)
+    nbytes = ((64 - _clz64(nz)) + 6) // 7
+    return np.maximum(nbytes, 1).astype(np.int64)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a uint64/int64 array -> bytes."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # Number of 7-bit groups per value (at least 1).
-    nz = np.maximum(v, 1)
-    nbytes = ((64 - _clz64(nz)) + 6) // 7
-    nbytes = np.maximum(nbytes, 1).astype(np.int64)
+    nbytes = varint_sizes(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # Byte slot index ranges per value.

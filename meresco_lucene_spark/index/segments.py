@@ -56,6 +56,7 @@ from meresco_lucene_spark.index.codec import (
     encode_doc_block,
     varint_decode,
     varint_encode,
+    varint_sizes,
 )
 from meresco_lucene_spark.query.bm25 import (
     B_DEFAULT,
@@ -66,24 +67,20 @@ from meresco_lucene_spark.query.bm25 import (
 
 BLOCK_SIZE_DEFAULT = 128
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+_HASH_KEY = "mls_termhash_v01"  # fixed 16-byte siphash key => deterministic
 
 
-def fnv1a64(terms: pd.Series) -> np.ndarray:
-    """Vectorized-enough FNV-1a 64-bit over term strings (stable across
-    driver/executor/python versions, unlike hash())."""
-    out = np.empty(len(terms), dtype=np.uint64)
-    for i, t in enumerate(terms):
-        h = _FNV_OFFSET
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def term_hash64(terms: pd.Series) -> np.ndarray:
+    """Deterministic vectorized 64-bit term hash (pandas siphash with a
+    pinned key — C speed, stable across processes; unlike Python's
+    hash(), which is salted per process)."""
+    return pd.util.hash_pandas_object(
+        terms, index=False, hash_key=_HASH_KEY
+    ).to_numpy(dtype=np.uint64)
 
 
 def term_base_shard(term: str, n_shards: int) -> int:
-    return int(fnv1a64(pd.Series([term]))[0] % n_shards)
+    return int(term_hash64(pd.Series([term]))[0] % n_shards)
 
 
 POSTINGS_SCHEMA = (
@@ -222,10 +219,26 @@ def build_segments(
     doc = F.col(id_col).alias("doc_id")
     toks = corpus.select(doc, tokenize_udf(F.col(text_col)).alias("tokens"))
 
+    # flat (term, doc_id, tf) — the ONE tokenize pass + one shuffle with
+    # map-side partial agg; every later stage (doc lengths, term stats,
+    # shard encode) derives from this persisted frame.
+    postings_flat = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+
     # ---- stage 1: docs (lengths + norms) --------------------------------
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
-        lengths = toks.select(
-            "doc_id", F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl")
+        lengths = (
+            corpus.select(doc)
+            .join(
+                postings_flat.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+                "doc_id",
+                "left",
+            )
+            .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"))
         )
 
         def _norm(it):
@@ -240,17 +253,12 @@ def build_segments(
 
     docs_df = spark.read.parquet(docs_dir)
     agg = docs_df.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
     ).collect()[0]
-    n_docs, sum_dl = int(agg["n"]), int(agg["s"])
+    n_docs, sum_dl, min_dl = int(agg["n"]), int(agg["s"]), int(agg["m"])
     avgdl = sum_dl / n_docs if n_docs else 1.0
-
-    # flat (term, doc_id, tf) — one shuffle, map-side partial agg
-    postings_flat = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
 
     # ---- stage 2: term stats + salting decision -------------------------
     if not (resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS"))):
@@ -264,12 +272,10 @@ def build_segments(
         )
         # Upper bound of the score over all docs: tf/(tf+K) is increasing in
         # tf and decreasing in dl; bound with tf<=cf and the corpus-min dl.
-        min_dl = docs_df.agg(F.min("dl")).collect()[0][0] or 1
-
         def _shard(it):
             for pdf in it:
                 pdf = pdf.copy()
-                h = fnv1a64(pdf["term"])
+                h = term_hash64(pdf["term"])
                 pdf["base_shard"] = (h % np.uint64(n_shards)).astype("int32")
                 pdf["n_salts"] = np.where(
                     pdf["df"] >= hot_threshold, salt_buckets, 1
@@ -323,57 +329,92 @@ def build_segments(
         flat = flat.join(docs_df.select("doc_id", F.col(dl_col).alias("_dl")), "doc_id")
 
         def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # Fully vectorized: with millions of unique rare terms a
+            # per-term pandas groupby loop is the build's bottleneck, so
+            # block boundaries, delta gaps, scores and the three varint
+            # streams are all computed in whole-shard numpy passes; the
+            # only per-block Python is the final byte-slice.
             shard = int(key[0])
-            pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-            out: dict[str, list] = {
-                "shard": [], "term": [], "block_id": [], "doc_count": [],
-                "min_doc": [], "max_doc": [], "block_max_score": [],
-                "doc_bytes": [], "tf_bytes": [], "dl_bytes": [],
-            }
-            for term, grp in pdf.groupby("term", sort=True):
-                doc_ids = grp["doc_id"].to_numpy(dtype=np.int64)
-                tfs = grp["tf"].to_numpy(dtype=np.int64)
-                dls = grp["_dl"].to_numpy(dtype=float)
-                df_t = float(grp["df"].iloc[0])
-                scores = bm25_score_numpy(
-                    tfs.astype(float), df_t, dls, n_docs, avgdl, k1, b
+            order = np.lexsort(
+                (pdf["doc_id"].to_numpy(), pdf["term"].to_numpy(dtype=object))
+            )
+            terms = pdf["term"].to_numpy(dtype=object)[order]
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+            dls = pdf["_dl"].to_numpy(dtype=np.int64)[order]
+            dfs = pdf["df"].to_numpy(dtype=np.float64)[order]
+            n = len(terms)
+            if n == 0:
+                return pd.DataFrame(
+                    columns=["shard", "term", "block_id", "doc_count", "min_doc",
+                             "max_doc", "block_max_score", "doc_bytes",
+                             "tf_bytes", "dl_bytes"]
                 )
-                for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
-                    hi = min(lo + block_size, len(doc_ids))
-                    dbytes, tbytes = encode_doc_block(doc_ids[lo:hi], tfs[lo:hi])
-                    out["shard"].append(shard)
-                    out["term"].append(term)
-                    out["block_id"].append(bi)
-                    out["doc_count"].append(hi - lo)
-                    out["min_doc"].append(int(doc_ids[lo]))
-                    out["max_doc"].append(int(doc_ids[hi - 1]))
-                    out["block_max_score"].append(float(scores[lo:hi].max()))
-                    out["doc_bytes"].append(dbytes)
-                    out["tf_bytes"].append(tbytes)
-                    out["dl_bytes"].append(
-                        varint_encode(dls[lo:hi].astype(np.int64))
-                    )
-            return pd.DataFrame(out)
+            run_start = np.empty(n, dtype=bool)
+            run_start[0] = True
+            run_start[1:] = terms[1:] != terms[:-1]
+            run_ids = np.cumsum(run_start) - 1
+            run_starts_idx = np.flatnonzero(run_start)
+            pos_in_run = np.arange(n) - run_starts_idx[run_ids]
+            block_start = run_start | (pos_in_run % block_size == 0)
+            block_starts = np.flatnonzero(block_start)
+            block_ends = np.append(block_starts[1:], n)
+            block_in_run = (pos_in_run // block_size)[block_starts]
+
+            # Block-local delta gaps: first doc of a block absolute.
+            gaps = np.empty(n, dtype=np.int64)
+            gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+            gaps[block_starts] = doc_ids[block_starts]
+
+            scores = bm25_score_numpy(
+                tfs.astype(float), dfs, dls.astype(float), n_docs, avgdl, k1, b
+            )
+            block_max = np.maximum.reduceat(scores, block_starts)
+
+            streams = {}
+            for name, vals in (("doc", gaps), ("tf", tfs), ("dl", dls)):
+                buf = memoryview(varint_encode(vals))
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(varint_sizes(vals), out=offs[1:])
+                starts_b = offs[block_starts]
+                ends_b = offs[block_ends]
+                streams[name] = [
+                    bytes(buf[a:e]) for a, e in zip(starts_b, ends_b)
+                ]
+
+            return pd.DataFrame(
+                {
+                    "shard": np.full(len(block_starts), shard, dtype=np.int32),
+                    "term": terms[block_starts],
+                    "block_id": block_in_run.astype(np.int32),
+                    "doc_count": (block_ends - block_starts).astype(np.int32),
+                    "min_doc": doc_ids[block_starts],
+                    "max_doc": doc_ids[block_ends - 1],
+                    "block_max_score": block_max,
+                    "doc_bytes": streams["doc"],
+                    "tf_bytes": streams["tf"],
+                    "dl_bytes": streams["dl"],
+                }
+            )
 
         # groupBy(shard).applyInPandas shuffles by shard itself — one
         # shuffle, each task encodes exactly one shard's postings.
         encoded = flat.groupBy("shard").applyInPandas(_encode, schema=POSTINGS_SCHEMA)
         encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
 
-        # lineage: one row per completed shard, hashed over logical content
+        # lineage: one row per completed shard; the content hash is an
+        # order-independent bit_xor of per-block xxhash64 (cheap at any
+        # scale — no collect_list/concat of millions of block hashes)
         written = spark.read.parquet(post_dir).filter(F.col("shard").isin(remaining))
         lineage = (
             written.withColumn(
                 "_h",
-                F.sha2(
-                    F.concat_ws(
-                        "|",
-                        F.col("term"),
-                        F.col("block_id").cast("string"),
-                        F.sha2(F.col("doc_bytes"), 256),
-                        F.sha2(F.col("tf_bytes"), 256),
-                    ),
-                    256,
+                F.xxhash64(
+                    F.col("term"),
+                    F.col("block_id"),
+                    F.col("doc_bytes"),
+                    F.col("tf_bytes"),
+                    F.col("dl_bytes"),
                 ),
             )
             .groupBy("shard")
@@ -384,14 +425,13 @@ def build_segments(
                 (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
                 .cast("long")
                 .alias("bytes"),
-                F.sha2(F.concat_ws(",", F.sort_array(F.collect_list("_h"))), 256).alias(
-                    "content_sha256"
-                ),
+                F.expr("bit_xor(_h)").cast("string").alias("content_sha256"),
                 F.lit(run_id).alias("run_id"),
             )
         )
         lineage.write.mode("append").parquet(lin_dir)
 
+    postings_flat.unpersist()
     meta = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,

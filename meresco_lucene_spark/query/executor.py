@@ -294,6 +294,7 @@ class LuceneResponse:
     hits: list[Hit]
     totalWithDuplicates: int | None = None
     drilldownData: list[dict] = dc_field(default_factory=list)
+    keys: list | None = None  # exported key set (composed queries)
 
 
 def _missing_value_order(col: Column, descending: bool, missing_value: Any) -> Column:
