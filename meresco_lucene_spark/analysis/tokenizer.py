@@ -26,6 +26,7 @@ import re
 import unicodedata
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,6 +66,40 @@ def _tokenize_series(s: pd.Series) -> pd.Series:
 def tokenize_udf(s: pd.Series) -> pd.Series:
     """content:string -> array<string> of analyzed tokens (Arrow-batched)."""
     return _tokenize_series(s)
+
+
+def _build_accent_map() -> tuple[str, str]:
+    """(accented, plain) char pairs derived from the SAME ascii_fold used
+    by the Python tokenizer, so the JVM translate()-based tokenizer is
+    fold-identical by construction for all single-char Latin folds."""
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        c = chr(cp)
+        f = ascii_fold(c)
+        if f != c and len(f) == 1 and f.isascii():
+            src.append(c)
+            dst.append(f)
+    return "".join(src), "".join(dst)
+
+
+_ACCENT_SRC, _ACCENT_DST = _build_accent_map()
+
+
+def tokenize_expr(col: Column | str) -> Column:
+    """JVM-side tokenizer: identical contract to :func:`tokenize_udf`
+    (fold -> lower -> [a-z0-9_]+ runs) but pure Catalyst expressions —
+    whole-stage codegen, no Python workers in the scan. This is the
+    build hot path; the pandas UDF remains for exotic multi-char folds
+    (none exist in the NFKD single-char range covered here).
+
+    split() on the complement class yields empty strings at boundaries;
+    the filter drops them."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Fold BEFORE lowering: some accented uppercase chars lowercase to
+    # multi-codepoint strings (e.g. U+0130), which would misalign the
+    # translate() src/dst pairing.
+    folded = F.lower(F.translate(c, _ACCENT_SRC, _ACCENT_DST))
+    return F.regexp_extract_all(folded, F.lit("[a-z0-9_]+"), 0)
 
 
 def shingles(tokens: list[str], min_size: int = 2, max_size: int = 4) -> list[str]:

@@ -249,7 +249,140 @@ def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ training-data pipeline ops
+
+def q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by sha256(text) (empty result is valid — the
+    synthetic corpus may have no exact dups; the oracle agrees)."""
+    from meresco_lucene_spark.extras.dedup import exact_duplicate_groups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicate_groups(df, "doc_id", "text").select(
+        "content_hash", "n_docs", "keep_id"
+    ).orderBy("content_hash")
+
+
+def q_dd_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups by first-4-token fingerprint."""
+    from meresco_lucene_spark.extras.dedup import prefix_fingerprint_groups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_fingerprint_groups(df, "doc_id", "text", n_tokens=4).orderBy(
+        "prefix_hash"
+    )
+
+
+def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs (threshold 0.15) among doc_id < 60."""
+    from meresco_lucene_spark.extras.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    return ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.15).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (no SQL oracle — verified in pytest
+    against exact Jaccard; driver records rows-only)."""
+    from meresco_lucene_spark.extras.dedup import minhash_near_duplicates
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    return minhash_near_duplicates(
+        df, "doc_id", "text", n=5, n_hashes=64, bands=16, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only check; property-tested)."""
+    from meresco_lucene_spark.extras.dedup import simhash_near_duplicates
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    return simhash_near_duplicates(df, "doc_id", "text", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 against embedding of vec_id=0."""
+    from meresco_lucene_spark.extras.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = cosine_topk(emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=10)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-10 (rows-only; recall vs the
+    exact path is asserted in pytest)."""
+    from meresco_lucene_spark.extras.ann import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = lsh_cosine_topk(emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=10)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meresco_lucene_spark.extras.textstats import token_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
+    return token_count(df, "doc_id", "text").orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meresco_lucene_spark.extras.textstats import quality_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
+    return quality_score(df, "doc_id", "text").orderBy("doc_id")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meresco_lucene_spark.extras.textstats import lang_id
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
+    return lang_id(df, "doc_id", "text").orderBy("doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meresco_lucene_spark.extras.textstats import min_gram_fingerprint
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
+    return min_gram_fingerprint(df, "doc_id", "text", n=4).orderBy("doc_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary media + fake feature
+    extraction via mapInPandas (decode step stubbed — rows-only)."""
+    from meresco_lucene_spark.extras.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 48)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    ).orderBy("media_id")
+
+
 QUERIES = {
+    "dd_exact": q_dd_exact,
+    "dd_prefix_fingerprint": q_dd_prefix_fingerprint,
+    "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "dd_minhash_lsh": q_dd_minhash_lsh,
+    "dd_simhash": q_dd_simhash,
+    "ann_cosine_top10": q_ann_cosine_top10,
+    "ann_lsh_top10": q_ann_lsh_top10,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_features": q_multimodal_features,
     "term_bm25_top10": q_term_bm25_top10,
     "bool_must_top10": q_bool_must_top10,
     "bool_should_top10": q_bool_should_top10,

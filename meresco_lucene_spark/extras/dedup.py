@@ -1,0 +1,311 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest first:
+  exact          — sha256 hash groupBy (one shuffle)
+  prefix/fingerprint — hash of a normalized prefix (near-dup recall at
+                   exact-dup cost)
+  n-gram Jaccard — shingle explode + candidate self-join + exact overlap
+  MinHash + LSH  — signature bands -> bucket join -> verify; SimHash —
+                   hamming-banded 64-bit sketches
+
+All are pure DataFrame pipelines (the shuffles are on hash/bucket keys,
+partial-aggregated); token/shingle hashing is pandas-siphash in an
+Arrow-batched UDF (no per-row Python).
+
+Scale notes: the shingle self-join is quadratic per bucket — at corpus
+scale ALWAYS go through LSH bands first (minhash_lsh_candidates), which
+bounds bucket sizes; the exact-jaccard verify then touches only
+candidate pairs. A frequency cap (drop shingles with df > max_df) keeps
+stop-shingle buckets from exploding, mirroring the hot-term salting
+story of the index builder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meresco_lucene_spark.analysis.tokenizer import tokenize_udf
+
+_HASH_KEY = "mls_dedup_hash_0"
+
+
+def _hash64(s: pd.Series) -> np.ndarray:
+    return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy(
+        dtype=np.uint64
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: sha256(text) groups with >1 member.
+    Returns (content_hash, n_docs, keep_id=min id, doc_ids sorted)."""
+    h = df.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def prefix_fingerprint_groups(
+    df: DataFrame, id_col: str, text_col: str, n_tokens: int = 8
+) -> DataFrame:
+    """Near-dup by normalized-prefix fingerprint: first n analyzed tokens
+    hashed; one shuffle, catches boilerplate-headed documents."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_udf(F.col(text_col)).alias("_t")
+    )
+    fp = toks.select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", F.slice("_t", 1, n_tokens)), 256).alias("prefix_hash"),
+    )
+    return (
+        fp.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _gram_expr(arr_col: str, n: int):
+    """Word n-grams of an array column. NB: Spark's sequence(1, 0) yields
+    a DESCENDING [1, 0] — the size guard is mandatory for short docs."""
+    return F.expr(
+        f"CASE WHEN size({arr_col}) >= {n} THEN "
+        f"transform(sequence(1, size({arr_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({arr_col}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def _shingles_df(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, optionally dropping
+    shingles shared by more than max_df docs (stop-shingle cap)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_udf(F.col(text_col)).alias("_t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(_gram_expr("_t", n)).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs that share at
+    least one shingle. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold."""
+    sh = _shingles_df(df, id_col, text_col, n, max_df).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# ----------------------------------------------------------------- MinHash
+
+def _minhash_udf(n_hashes: int, seed: int = 7):
+    """shingle array -> minhash signature (vectorized affine rehash of a
+    single 64-bit base hash: h_i(x) = (a_i * x + b_i) mod 2^61-1)."""
+    p = np.uint64((1 << 61) - 1)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.integers(1, int(p), size=n_hashes, dtype=np.uint64)
+    bcoef = rng.integers(0, int(p), size=n_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([0] * n_hashes)
+                continue
+            base = _hash64(pd.Series(list(sh))).astype(np.uint64) % p
+            # (n_hashes, n_shingles) affine map in uint64 mod p
+            sig = (a[:, None] * base[None, :] + bcoef[:, None]) % p
+            out.append(sig.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_hashes: int = 64
+) -> DataFrame:
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_udf(F.col(text_col)).alias("_t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(_gram_expr("_t", n)).alias("shingles"),
+    )
+    mh = _minhash_udf(n_hashes)
+    return sh.select("doc_id", mh(F.col("shingles")).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> hash(concat_ws(',', slice(signature, b * {rows_per_band} + 1, {rows_per_band})), b))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
+    verify on candidates only. Returns (id_a, id_b, jaccard >= threshold)."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    cands = minhash_lsh_candidates(sigs, bands, rows)
+    sh = _shingles_df(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over analyzed tokens (tf-weighted bit votes)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            s = pd.Series(list(toks))
+            counts = s.value_counts()
+            h = _hash64(pd.Series(counts.index)).astype(np.uint64)
+            w = counts.to_numpy(dtype=np.int64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for bit in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_udf(F.col(text_col)).alias("_t")
+    )
+    return toks.select("doc_id", simhash(F.col("_t")).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs by 16-bit band equality (any of 4 bands equal =>
+    hamming <= 48 possible; exact hamming filter after). With
+    max_hamming <= 3 and 4 bands, pigeonhole guarantees recall=1."""
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

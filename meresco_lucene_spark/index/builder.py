@@ -44,18 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from meresco_lucene_spark.analysis.tokenizer import tokenize_udf
+from meresco_lucene_spark.analysis.tokenizer import tokenize_expr, tokenize_udf
 from meresco_lucene_spark.query.bm25 import (
     K1_DEFAULT,
     B_DEFAULT,
-    quantize_dl,
+    quantize_dl_expr,
 )
-
-
-@F.pandas_udf(T.LongType())
-def _norm_dl_udf(dl: pd.Series) -> pd.Series:
-    """dl -> Lucene-quantized dl (SmallFloat int4 round-trip), vectorized."""
-    return pd.Series(quantize_dl(dl.to_numpy()))
 
 
 @dataclass
@@ -131,7 +125,9 @@ class InvertedIndex:
         posting_parts: list[DataFrame] = []
         length_parts: list[DataFrame] = []
         for col in text_cols:
-            toks = df.select(doc, tokenize_udf(F.col(col)).alias("tokens"))
+            # JVM tokenizer (codegen) — the pandas-UDF twin exists for
+            # exotic folds; contracts are identical (tokenizer.py).
+            toks = df.select(doc, tokenize_expr(F.col(col)).alias("tokens"))
             exploded = toks.select(
                 "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
             ).filter(F.col("term").isNotNull())
@@ -178,7 +174,9 @@ class InvertedIndex:
         field_lengths = length_parts[0]
         for p in length_parts[1:]:
             field_lengths = field_lengths.unionByName(p)
-        field_lengths = field_lengths.withColumn("norm_dl", _norm_dl_udf(F.col("dl")))
+        field_lengths = field_lengths.withColumn(
+            "norm_dl", quantize_dl_expr(F.col("dl"))
+        )
 
         term_stats = postings.groupBy("field", "term").agg(
             F.count("*").cast("long").alias("df"),

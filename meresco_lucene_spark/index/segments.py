@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meresco_lucene_spark.analysis.tokenizer import tokenize_udf
+from meresco_lucene_spark.analysis.tokenizer import tokenize_expr
 from meresco_lucene_spark.index.codec import (
     decode_doc_block,
     encode_doc_block,
@@ -62,25 +62,23 @@ from meresco_lucene_spark.query.bm25 import (
     B_DEFAULT,
     K1_DEFAULT,
     bm25_score_numpy,
-    quantize_dl,
+    quantize_dl_expr,
 )
 
 BLOCK_SIZE_DEFAULT = 128
 
-_HASH_KEY = "mls_termhash_v01"  # fixed 16-byte siphash key => deterministic
+# Sharding hash = Spark's JVM xxhash64 (seed 42): deterministic across
+# runs/sessions (resume-safe) and computed inside codegen — no Python in
+# the build's shuffle key. Query side never recomputes it (term_stats
+# stores base_shard); term_base_shard exists for tooling/tests.
 
 
-def term_hash64(terms: pd.Series) -> np.ndarray:
-    """Deterministic vectorized 64-bit term hash (pandas siphash with a
-    pinned key — C speed, stable across processes; unlike Python's
-    hash(), which is salted per process)."""
-    return pd.util.hash_pandas_object(
-        terms, index=False, hash_key=_HASH_KEY
-    ).to_numpy(dtype=np.uint64)
-
-
-def term_base_shard(term: str, n_shards: int) -> int:
-    return int(term_hash64(pd.Series([term]))[0] % n_shards)
+def term_base_shard(spark: SparkSession, term: str, n_shards: int) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(term)), F.lit(n_shards)).alias("s"))
+        .collect()[0]["s"]
+    )
 
 
 POSTINGS_SCHEMA = (
@@ -199,6 +197,7 @@ def build_segments(
     quantized: bool = False,
     resume: bool = False,
     run_id: str = "run0",
+    verbose: bool = False,
 ) -> SegmentIndex:
     """Build (or resume) the compressed segment store.
 
@@ -208,6 +207,16 @@ def build_segments(
       3. postings:   shuffle by salted shard -> per-shard term-sorted
                      delta+varint blocks + block-max scores + lineage
     """
+    import time as _time
+
+    _t = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        if verbose:
+            print(f"[build_segments] {stage}: {_time.time() - _t:.1f}s", flush=True)
+        _t = _time.time()
+
     spark = corpus.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     docs_dir = os.path.join(out_dir, "docs")
@@ -217,7 +226,7 @@ def build_segments(
     meta_path = os.path.join(out_dir, "meta.json")
 
     doc = F.col(id_col).alias("doc_id")
-    toks = corpus.select(doc, tokenize_udf(F.col(text_col)).alias("tokens"))
+    toks = corpus.select(doc, tokenize_expr(F.col(text_col)).alias("tokens"))
 
     # flat (term, doc_id, tf) — the ONE tokenize pass + one shuffle with
     # map-side partial agg; every later stage (doc lengths, term stats,
@@ -230,26 +239,17 @@ def build_segments(
     )
 
     # ---- stage 1: docs (lengths + norms) --------------------------------
+    # dl straight from the token arrays: a second codegen'd tokenize pass
+    # is far cheaper than joining against the postings shuffle (and keeps
+    # stage 1 embarrassingly parallel — no shuffle at all).
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
-        lengths = (
-            corpus.select(doc)
-            .join(
-                postings_flat.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
-                "doc_id",
-                "left",
-            )
-            .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"))
+        lengths = toks.select(
+            "doc_id", F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl")
         )
-
-        def _norm(it):
-            for pdf in it:
-                pdf = pdf.copy()
-                pdf["norm_dl"] = quantize_dl(pdf["dl"].to_numpy())
-                yield pdf
-
-        lengths.mapInPandas(_norm, schema="doc_id long, dl long, norm_dl long").write.mode(
+        lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl"))).write.mode(
             "overwrite"
         ).parquet(docs_dir)
+    _mark("stage1-docs")
 
     docs_df = spark.read.parquet(docs_dir)
     agg = docs_df.agg(
@@ -272,25 +272,29 @@ def build_segments(
         )
         # Upper bound of the score over all docs: tf/(tf+K) is increasing in
         # tf and decreasing in dl; bound with tf<=cf and the corpus-min dl.
-        def _shard(it):
-            for pdf in it:
-                pdf = pdf.copy()
-                h = term_hash64(pdf["term"])
-                pdf["base_shard"] = (h % np.uint64(n_shards)).astype("int32")
-                pdf["n_salts"] = np.where(
-                    pdf["df"] >= hot_threshold, salt_buckets, 1
-                ).astype("int32")
-                yield pdf
-
         (
-            tstats.withColumn("max_score", idf_c * (F.col("cf") / (F.col("cf") + F.lit(k1 * (1 - b + b * float(min_dl) / avgdl)))))
-            .mapInPandas(
-                _shard,
-                schema="term string, df long, cf long, max_score double, base_shard int, n_salts int",
+            tstats.withColumn(
+                "max_score",
+                idf_c
+                * (
+                    F.col("cf")
+                    / (F.col("cf") + F.lit(k1 * (1 - b + b * float(min_dl) / avgdl)))
+                ),
+            )
+            .withColumn(
+                "base_shard",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("int"),
+            )
+            .withColumn(
+                "n_salts",
+                F.when(F.col("df") >= hot_threshold, F.lit(salt_buckets))
+                .otherwise(F.lit(1))
+                .cast("int"),
             )
             .write.mode("overwrite")
             .parquet(stats_dir)
         )
+    _mark("stage2-term-stats")
 
     tstats_df = spark.read.parquet(stats_dir)
 
@@ -401,6 +405,7 @@ def build_segments(
         # shuffle, each task encodes exactly one shard's postings.
         encoded = flat.groupBy("shard").applyInPandas(_encode, schema=POSTINGS_SCHEMA)
         encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
+        _mark("stage3-encode-write")
 
         # lineage: one row per completed shard; the content hash is an
         # order-independent bit_xor of per-block xxhash64 (cheap at any
@@ -430,6 +435,7 @@ def build_segments(
             )
         )
         lineage.write.mode("append").parquet(lin_dir)
+        _mark("stage4-lineage")
 
     postings_flat.unpersist()
     meta = {

@@ -69,6 +69,23 @@ def quantize_dl(dl: np.ndarray) -> np.ndarray:
     return small_float_int4_decode(small_float_int4_encode(dl))
 
 
+def quantize_dl_expr(dl_col: Column) -> Column:
+    """JVM-twin of :func:`quantize_dl` (SmallFloat int4 round-trip) as a
+    pure Catalyst expression: bit length via length(bin(x)) is exact
+    (no floating log), so this matches the numpy version bit-for-bit.
+    quantized = ((dl >> shift) & 7 | 8) << shift, shift = bitlen - 4."""
+    # F.shiftleft/shiftright only take a literal shift — use call_function
+    # for the column-shift SQL variants.
+    shift = F.length(F.bin(dl_col)) - F.lit(4)
+    mantissa = (
+        F.call_function("shiftright", dl_col, shift)
+        .bitwiseAND(F.lit(7))
+        .bitwiseOR(F.lit(8))
+    )
+    high = F.call_function("shiftleft", mantissa, shift)
+    return F.when(dl_col < 8, dl_col).otherwise(high)
+
+
 def idf_expr(df_col: Column, n_docs: Column | int) -> Column:
     n = F.lit(n_docs) if not isinstance(n_docs, Column) else n_docs
     return F.log(

@@ -41,6 +41,41 @@ def test_char_ngrams_bounded():
     assert char_ngrams("ab", 2, 3) == ["$a", "ab", "b$", "$ab", "ab$"]
 
 
+def test_tokenize_expr_matches_python(spark):
+    """The JVM translate()-based tokenizer must agree with the Python
+    tokenizer on ASCII, accents, digits, underscores, punctuation."""
+    import pandas as pd
+
+    from meresco_lucene_spark.analysis.tokenizer import tokenize_expr
+
+    texts = [
+        "Hello, World!",
+        "café Ünïcodé CRÈME brûlée",
+        "",
+        "sym_1 sym_2 sym_1",
+        "a-b_c.d e|f",
+        "ÀÉÎÕÜ àéîõü ñÑ çÇ",
+        "tabs\tand\nnewlines",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got = [r[0] for r in df.select(tokenize_expr("t")).collect()]
+    assert got == [tokenize_text(t) for t in texts]
+
+
+def test_quantize_expr_matches_numpy(spark):
+    import pandas as pd
+
+    from meresco_lucene_spark.query.bm25 import quantize_dl, quantize_dl_expr
+    from pyspark.sql import functions as F
+
+    vals = list(range(0, 300)) + [1000, 4095, 4096, 65535, 10**6, 2**30]
+    df = spark.createDataFrame(pd.DataFrame({"dl": vals}))
+    got = [r[0] for r in df.select(quantize_dl_expr(F.col("dl"))).collect()]
+    import numpy as np
+
+    assert got == quantize_dl(np.array(vals)).tolist()
+
+
 def test_tokenize_udf_matches_python(spark):
     import pandas as pd
     from pyspark.sql import functions as F
