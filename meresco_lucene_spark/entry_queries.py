@@ -416,7 +416,109 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+# Tokenizer used by textstats (no strip_accents — mirrors TOKEN_PATTERN).
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
 ORACLES = {
+    "dd_exact": """
+SELECT sha256(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+""",
+    "dd_prefix_fingerprint": """
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+') AS t
+  FROM documents
+)
+SELECT sha256(array_to_string(t[1:4], ' ')) AS prefix_hash,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+FROM tk GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+""",
+    "dd_ngram_jaccard": """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+') AS t
+  FROM documents WHERE doc_id < 60
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                          i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM tk
+), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.15
+ORDER BY id_a, id_b
+""",
+    "ann_cosine_top10": """
+SELECT vec_id,
+  round(list_cosine_similarity(embedding::DOUBLE[],
+    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+LIMIT 10
+""",
+    "text_token_count": f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+       ceil(length(text) / 4.0)::BIGINT AS n_subwords_est
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+    "text_quality": f"""
+WITH feat AS (
+  SELECT doc_id,
+    len({_TOKS})::BIGINT AS n_tokens,
+    CASE WHEN len({_TOKS}) > 0
+         THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
+         ELSE 0.0 END AS mean_wl,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+              / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len({_TOKS}) > 0
+         THEN len(list_intersect(list_distinct({_TOKS}),
+              ['the','a','of','to','and','in','is','it','that','for']))::DOUBLE
+              / len({_TOKS})
+         ELSE 0.0 END AS stop_ratio
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, n_tokens, round(mean_wl, 4) AS mean_word_len,
+  round(punct_ratio, 4) AS punct_ratio, round(stop_ratio, 4) AS stop_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+        + least(mean_wl / 8.0, 1.0) * 0.3, 4) AS quality
+FROM feat ORDER BY doc_id
+""",
+    "text_lang_id": f"""
+WITH hits AS (
+  SELECT doc_id,
+    len(list_intersect(list_distinct({_TOKS}), ['der','die','das','und','ist','nicht']))::BIGINT AS hits_de,
+    len(list_intersect(list_distinct({_TOKS}), ['the','and','of','to','is','in']))::BIGINT AS hits_en,
+    len(list_intersect(list_distinct({_TOKS}), ['el','la','los','que','es','de']))::BIGINT AS hits_es,
+    len(list_intersect(list_distinct({_TOKS}), ['le','la','les','et','est','des']))::BIGINT AS hits_fr
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM hits ORDER BY doc_id
+""",
+    "text_fingerprint": f"""
+SELECT doc_id,
+  coalesce(list_min(list_transform(
+    generate_series(1, greatest(len({_TOKS}) - 3, 0)),
+    i -> md5(array_to_string(({_TOKS})[i:i+3], ' ')))), '') AS fingerprint
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
     "term_bm25_top10": _bm25_topk_sql("term = 'spark'"),
     "bool_must_top10": ORACLE_PRELUDE
     + """

