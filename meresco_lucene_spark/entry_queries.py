@@ -249,6 +249,176 @@ def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- composed (multi-core) queries
+#
+# The reference's multi-core key-join algebra (SURVEY §2.5, MultiLucene.java)
+# exercised over two "cores" built from TPC-H tables: customer core keyed
+# c_custkey, orders core keyed o_custkey. Every entry has a plain-SQL twin.
+
+_COMPOSED_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _composed_cores(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _COMPOSED_CACHE:
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+            "c_custkey", "doc_id"
+        ).withColumn("c_custkey", F.col("doc_id"))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+            "o_orderkey", "doc_id"
+        )
+        core_c = InvertedIndex.build(
+            cust,
+            id_col="doc_id",
+            keyword_cols=["c_mktsegment"],
+            facet_fields={"cat_segment": ["c_mktsegment"]},
+        )
+        core_o = InvertedIndex.build(
+            orders,
+            id_col="doc_id",
+            keyword_cols=["o_orderstatus", "o_orderpriority"],
+            facet_fields={"cat_priority": ["o_orderpriority"]},
+        )
+        _COMPOSED_CACHE[key] = {"customers": core_c, "orders": core_o}
+    return _COMPOSED_CACHE[key]
+
+
+def _cq(result_from: str) -> "ComposedQuery":
+    from meresco_lucene_spark.compose.composedquery import ComposedQuery
+
+    cq = ComposedQuery(result_from)
+    cq.add_match("customers", "c_custkey", "orders", "o_custkey")
+    return cq
+
+
+def q_cq_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-core filter join: customers having a 1-URGENT order
+    (other-core key collection -> broadcast semi-join)."""
+    from meresco_lucene_spark.compose.composedquery import collect_keys
+    from meresco_lucene_spark.query.executor import scored_hits_df
+
+    cores = _composed_cores(spark, sf_dir)
+    keys = collect_keys(
+        cores["orders"], Q.term("o_orderpriority", "1-URGENT"), "o_custkey"
+    )
+    h = scored_hits_df(
+        cores["customers"], Q.matchall(), key_filters=[(keys, "c_custkey", False)]
+    )
+    return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
+
+
+def q_cq_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exclude-filter join: customers with NO 1-URGENT order."""
+    from meresco_lucene_spark.compose.composedquery import collect_keys
+    from meresco_lucene_spark.query.executor import scored_hits_df
+
+    cores = _composed_cores(spark, sf_dir)
+    keys = collect_keys(
+        cores["orders"], Q.term("o_orderpriority", "1-URGENT"), "o_custkey"
+    )
+    h = scored_hits_df(
+        cores["customers"], Q.matchall(), key_filters=[(keys, "c_custkey", True)]
+    )
+    return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
+
+
+def q_cq_unite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 unite: customers in BUILDING segment OR having an F-status
+    order (union of two cores' key sets as one filter)."""
+    from meresco_lucene_spark.compose.composedquery import collect_keys
+    from meresco_lucene_spark.query.executor import scored_hits_df
+
+    cores = _composed_cores(spark, sf_dir)
+    ka = collect_keys(
+        cores["customers"], Q.term("c_mktsegment", "BUILDING"), "c_custkey"
+    )
+    kb = collect_keys(cores["orders"], Q.term("o_orderstatus", "F"), "o_custkey")
+    united = ka.unionByName(kb).distinct()
+    h = scored_hits_df(
+        cores["customers"], Q.matchall(), key_filters=[(united, "c_custkey", False)]
+    )
+    return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
+
+
+def q_cq_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+C7/C8 rank query: customer relevance blended with the BM25
+    score of their 1-URGENT orders:
+    blended = (1-r)*own + r*(1 + max_other_score), r=0.5. Top-20."""
+    from meresco_lucene_spark.query.executor import hits
+
+    cores = _composed_cores(spark, sf_dir)
+    rank_scores = (
+        hits(cores["orders"], Q.term("o_orderpriority", "1-URGENT"))
+        .join(
+            cores["orders"].forward.select("doc_id", "o_custkey"), "doc_id"
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("score").alias("_os"))
+    )
+    base = cores["customers"].forward.select(
+        F.col("doc_id"), F.col("c_custkey"), F.lit(1.0).alias("_own")
+    )
+    blended = base.join(
+        F.broadcast(rank_scores.withColumnRenamed("o_custkey", "c_custkey")),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        (
+            F.lit(0.5) * F.col("_own")
+            + F.lit(0.5) * (F.lit(1.0) + F.coalesce(F.col("_os"), F.lit(0.0)))
+        ).alias("score"),
+    )
+    return (
+        blended.orderBy(F.col("score").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .withColumn("score", F.round("score", 4))
+    )
+
+
+def q_cq_join_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 join facets: order-priority facet over the orders core,
+    restricted to keys of BUILDING-segment customers."""
+    from meresco_lucene_spark.query.executor import facet_counts_df, hits
+
+    cores = _composed_cores(spark, sf_dir)
+    cust_keys = (
+        cores["customers"].forward
+        .join(
+            hits(cores["customers"], Q.term("c_mktsegment", "BUILDING")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    restricted = cores["orders"].forward.join(
+        F.broadcast(cust_keys), "o_custkey", "left_semi"
+    ).select("doc_id")
+    return facet_counts_df(cores["orders"], restricted, "cat_priority")
+
+
+def q_cq_relational_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 relational algebra: customers where NOT(BUILDING AND has
+    P-status order) — lazily-inverted key set applied as anti-join."""
+    from meresco_lucene_spark.compose.relational import RQ
+    from meresco_lucene_spark.query.executor import scored_hits_df
+
+    cores = _composed_cores(spark, sf_dir)
+    rq = RQ.not_(
+        RQ.and_(
+            RQ.lucene("customers", "c_custkey", Q.term("c_mktsegment", "BUILDING")),
+            RQ.lucene("orders", "o_custkey", Q.term("o_orderstatus", "P")),
+        )
+    )
+    ks = rq.collect_keys(cores)
+    h = ks.apply_to(cores["customers"].forward, "c_custkey")
+    return h.select("c_custkey").orderBy("c_custkey")
+
+
 # ------------------------------------------------ training-data pipeline ops
 
 def q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +540,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_suggest_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G3 ngram autocomplete: suggestion values = first-2-token
+    'titles' of documents; char-bigram MUST query for partial input
+    'ke', BM25-ranked (shorter values outrank longer)."""
+    from meresco_lucene_spark.analysis.tokenizer import tokenize_expr
+    from meresco_lucene_spark.suggest import build_suggestion_index, suggest
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    titled = df.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokenize_expr(F.col("text")), 1, 2)).alias("title"),
+    )
+    si = build_suggestion_index(titled, "title", key_col="doc_id")
+    out = suggest(si, "ke", limit=25).withColumn("score", F.round("score", 4))
+    return out
+
+
 QUERIES = {
+    "suggest_ngram": q_suggest_ngram,
+    "cq_join_semi": q_cq_join_semi,
+    "cq_join_anti": q_cq_join_anti,
+    "cq_unite": q_cq_unite,
+    "cq_rank_blend": q_cq_rank_blend,
+    "cq_join_facet": q_cq_join_facet,
+    "cq_relational_not": q_cq_relational_not,
     "dd_exact": q_dd_exact,
     "dd_prefix_fingerprint": q_dd_prefix_fingerprint,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -420,6 +614,84 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 ORACLES = {
+    "suggest_ngram": """
+WITH vals AS (
+  SELECT DISTINCT array_to_string(
+    (regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+'))[1:2], ' '
+  ) AS suggestion
+  FROM documents
+), big AS (
+  SELECT suggestion,
+    unnest(flatten(list_transform(
+      list_transform(regexp_extract_all(suggestion, '[a-z0-9_]+'),
+                     w -> '$' || w || '$'),
+      b -> list_transform(generate_series(1, length(b) - 1),
+                          i -> substr(b, i, 2))))) AS g
+  FROM vals
+), tf AS (SELECT suggestion, g, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2),
+dl AS (SELECT suggestion, count(*)::BIGINT AS dl FROM big GROUP BY 1),
+cs AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.suggestion, tf.g,
+    ln(1 + (cs.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / cs.avgdl)) AS s
+  FROM tf JOIN dl USING (suggestion) CROSS JOIN cs JOIN dfq USING (g)
+), comb AS (
+  SELECT suggestion, sum(s) AS score, count(*) AS nm
+  FROM scored WHERE g IN ('$k', 'ke') GROUP BY 1
+)
+SELECT suggestion, round(score, 4) AS score FROM comb WHERE nm = 2
+ORDER BY score DESC, suggestion ASC LIMIT 25
+""",
+    "cq_join_semi": """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+    "cq_join_anti": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+    "cq_unite": """
+SELECT c_custkey FROM customer
+WHERE c_mktsegment = 'BUILDING'
+   OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY c_custkey
+""",
+    "cq_rank_blend": """
+WITH stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM orders) AS n,
+         (SELECT count(*)::DOUBLE FROM orders WHERE o_orderpriority = '1-URGENT') AS df
+), s AS (
+  SELECT ln(1 + (n - df + 0.5) / (df + 0.5)) / 2.2 AS other FROM stats
+), blended AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         THEN 0.5 + 0.5 * (1 + (SELECT other FROM s))
+         ELSE 1.0 END AS score
+  FROM customer
+)
+SELECT c_custkey, round(score, 4) AS score FROM blended
+ORDER BY score DESC, c_custkey ASC LIMIT 20
+""",
+    "cq_join_facet": """
+SELECT o_orderpriority AS term, count(*)::BIGINT AS count
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderpriority IS NOT NULL
+GROUP BY 1 ORDER BY count DESC, term ASC
+""",
+    "cq_relational_not": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+)
+ORDER BY c_custkey
+""",
     "dd_exact": """
 SELECT sha256(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1

@@ -100,6 +100,7 @@ class InvertedIndex:
         id_col: str,
         text_cols: list[str] | None = None,
         keyword_cols: list[str] | None = None,
+        array_cols: list[str] | None = None,
         positions: bool = True,
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
@@ -114,20 +115,26 @@ class InvertedIndex:
         keyword_cols : untokenized single-term fields (reference
                        StringField / ``untokenized.`` prefix convention,
                        fieldregistry.py:31-37) — tf=1, norms omitted
+        array_cols   : pre-tokenized array<string> fields indexed as-is
+                       (e.g. the suggestion char-ngram fields)
         facet_fields : facet dim -> list of path columns (reference
                        taxonomy facets; a 1-element list is a flat dim)
         """
         spark = df.sparkSession
         text_cols = list(text_cols or [])
         keyword_cols = list(keyword_cols or [])
+        array_cols = list(array_cols or [])
         doc = F.col(id_col).alias("doc_id")
 
         posting_parts: list[DataFrame] = []
         length_parts: list[DataFrame] = []
-        for col in text_cols:
+        for col, pre_tok in [(c, False) for c in text_cols] + [
+            (c, True) for c in array_cols
+        ]:
             # JVM tokenizer (codegen) — the pandas-UDF twin exists for
             # exotic folds; contracts are identical (tokenizer.py).
-            toks = df.select(doc, tokenize_expr(F.col(col)).alias("tokens"))
+            tok_expr = F.col(col) if pre_tok else tokenize_expr(F.col(col))
+            toks = df.select(doc, tok_expr.alias("tokens"))
             exploded = toks.select(
                 "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
             ).filter(F.col("term").isNotNull())

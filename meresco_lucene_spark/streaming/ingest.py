@@ -1,0 +1,101 @@
+"""Near-real-time ingest: the reference's commit policy as micro-batches.
+
+The reference has no streaming operators (SURVEY §2.9); its only
+temporal behavior is S8 — addDocument/updateDocument buffered until
+``commitCount`` docs or ``commitTimeout`` seconds, then an index commit
+makes them searchable (Lucene.java:183-214, refresh :899-907).
+
+Structured-Streaming restatement: the update stream flows through
+``foreachBatch``; each micro-batch is one "commit" —
+  - upsert semantics per doc id (updateDocument = delete-then-add,
+    Lucene.java:166-171): batch rows REPLACE same-id rows in the forward
+    table (last write in a batch wins, mirroring Lucene's sequential
+    writer),
+  - the forward table is a parquet dir partitioned by commit epoch; a
+    new searchable snapshot (InvertedIndex) is built on demand from the
+    latest state — the searcher-refresh analog,
+  - commitCount maps to ``maxFilesPerTrigger``-style source limits and
+    commitTimeout to the trigger interval, both caller-set.
+
+Deletes: a batch row with ``_deleted = true`` removes the doc id
+(deleteDocument, Lucene.java:173-176).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from meresco_lucene_spark.index.builder import InvertedIndex
+
+
+@dataclass
+class IngestSink:
+    """Upsert/delete sink over a parquet state dir with epoch snapshots."""
+
+    spark: SparkSession
+    state_dir: str
+    id_col: str = "doc_id"
+    epochs: list[int] = field(default_factory=list)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One micro-batch = one commit (reference commit policy S8)."""
+        out = os.path.join(self.state_dir, f"epoch={epoch_id}")
+        batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode("overwrite").parquet(
+            out
+        )
+        self.epochs.append(epoch_id)
+
+    def current_state(self) -> DataFrame:
+        """Latest row per doc id across all committed epochs, minus
+        deletions — the reference's post-refresh index contents."""
+        df = self.spark.read.option("basePath", self.state_dir).parquet(
+            os.path.join(self.state_dir, "epoch=*")
+        )
+        has_deleted = "_deleted" in df.columns
+        order = [F.col("_epoch").desc()]
+        if "_seq" in df.columns:  # optional intra-batch sequence
+            order.append(F.col("_seq").desc())
+        w = Window.partitionBy(self.id_col).orderBy(*order)
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_epoch")
+        )
+        if has_deleted:
+            latest = latest.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            ).drop("_deleted")
+        return latest
+
+    def searchable_index(self, **build_kwargs) -> InvertedIndex:
+        """Searcher refresh: a fresh InvertedIndex over current state."""
+        return InvertedIndex.build(
+            self.current_state(), id_col=self.id_col, cache=False, **build_kwargs
+        )
+
+
+def stream_ingest(
+    stream_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+):
+    """Wire an input stream into an IngestSink via foreachBatch.
+
+    Returns (sink, streaming_query). Caller drives the query
+    (processAllAvailable() for batch-style tests, or let it run)."""
+    sink = IngestSink(stream_df.sparkSession, state_dir, id_col)
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(
+        sink.process_batch
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return sink, writer.start()

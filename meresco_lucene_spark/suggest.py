@@ -1,0 +1,163 @@
+"""Autocomplete / suggestion subsystem (reference suggestion/*).
+
+Faithful restatement of the reference pipeline:
+
+  G1/G2 (SuggestionIndex.add + SuggestionNGramIndex.createSuggestions):
+    records carry suggestion values; the ngram index holds ONE doc per
+    distinct value, with $-bounded char bi/trigrams per word
+    (NGramAnalyzer.java:50-79) as indexed fields plus the record keys.
+  G3 (SuggestionNGramIndex.Reader.suggest:225-260): a query value is
+    analyzed to its ngrams, the LAST ngram is dropped (the user is still
+    typing), remaining ngrams are MUST clauses, top-25 by BM25 —
+    shorter values naturally outrank longer ones via length norms.
+  G4 (suggestionindexcomponent.py:113-136): client-side re-ranking
+    sortScore = distanceScore * score^2 * (2 * matchScore) with
+    distanceScore = max(0, -ln(levenshtein+1)/4 + 1) and matchScore =
+    count of query words contained in the suggestion; dedup; top 10.
+  G5: the reference atomically swaps a rebuilt index dir
+    (SuggestionIndex.java:132-158); here a rebuild is a new DataFrame /
+    overwritten table — snapshot semantics come for free.
+
+The ngram "index" is a regular InvertedIndex over pre-tokenized array
+columns, so scoring, filters, and key-set restriction reuse the engine's
+single query path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from meresco_lucene_spark.analysis.tokenizer import char_ngrams, tokenize_text
+from meresco_lucene_spark.index.builder import InvertedIndex
+from meresco_lucene_spark.query.executor import hits
+from meresco_lucene_spark.query.ir import MUST, Q
+
+
+def value_ngrams(value: str, trigram: bool = False) -> list[str]:
+    """NGramAnalyzer semantics: analyze to words, emit $-bounded char
+    2-grams (or 3-grams) per word. ngrams('lord of', True) ->
+    [$lo, lor, ord, rd$, $of, of$] (SuggestionIndexTest.java:170-172)."""
+    n = 3 if trigram else 2
+    out: list[str] = []
+    for word in tokenize_text(value):
+        out.extend(char_ngrams(word, n, n))
+    return out
+
+
+@dataclass
+class SuggestionIndex:
+    """Ngram suggestion index: one row per distinct suggestion value."""
+
+    index: InvertedIndex  # fields: 'bigram', 'trigram'
+    values: DataFrame  # (doc_id, suggestion, keys array<long>)
+
+
+def build_suggestion_index(
+    df: DataFrame, value_col: str, key_col: str | None = None
+) -> SuggestionIndex:
+    """df: records with a suggestion-value column (+ optional int key).
+    Distinct values get stable doc ids (dense rank over value order)."""
+    sel = [F.col(value_col).alias("suggestion")]
+    if key_col:
+        sel.append(F.col(key_col).alias("_key"))
+    vals = df.select(*sel).filter(F.col("suggestion").isNotNull())
+    if key_col:
+        grouped = vals.groupBy("suggestion").agg(
+            F.sort_array(F.collect_set("_key")).alias("keys")
+        )
+    else:
+        grouped = vals.distinct().withColumn(
+            "keys", F.array().cast("array<long>")
+        )
+    w = Window.orderBy("suggestion")
+    values = grouped.withColumn("doc_id", F.row_number().over(w).cast("long"))
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def bigrams_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: value_ngrams(v, trigram=False))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def trigrams_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: value_ngrams(v, trigram=True))
+
+    values = values.select(
+        "doc_id",
+        "suggestion",
+        "keys",
+        bigrams_udf("suggestion").alias("bigram"),
+        trigrams_udf("suggestion").alias("trigram"),
+    ).persist()
+    idx = InvertedIndex.build(
+        values, id_col="doc_id", array_cols=["bigram", "trigram"], positions=False
+    )
+    return SuggestionIndex(index=idx, values=values)
+
+
+def suggest(
+    si: SuggestionIndex,
+    value: str,
+    trigram: bool = False,
+    limit: int = 25,
+    key_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Top-`limit` suggestion values for a partial query.
+
+    Returns (suggestion, score) ordered by score desc. key_filter: a
+    single-column frame of record keys — only values attached to one of
+    those keys are returned (SuggestionNGramKeysFilter semantics)."""
+    field = "trigram" if trigram else "bigram"
+    ngrams = value_ngrams(value, trigram)
+    ngrams = ngrams[:-1] if len(ngrams) > 1 else ngrams  # SKIP_LAST_DOLLAR
+    if not ngrams:
+        return si.values.select("suggestion", F.lit(0.0).alias("score")).limit(0)
+    q = Q.boolean(*[(MUST, Q.term(field, g)) for g in ngrams])
+    h = hits(si.index, q)
+    out = h.join(si.values.select("doc_id", "suggestion", "keys"), "doc_id")
+    if key_filter is not None:
+        kc = key_filter.columns[0]
+        keys = key_filter.select(F.col(kc).alias("_k")).distinct()
+        out = (
+            out.select("*", F.explode("keys").alias("_k"))
+            .join(F.broadcast(keys), "_k", "left_semi")
+            .drop("_k")
+            .distinct()
+        )
+    return (
+        out.select("suggestion", "score")
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(limit)
+    )
+
+
+def rank_suggestions(suggestions: DataFrame, value: str, top: int = 10) -> DataFrame:
+    """G4 client re-ranking (suggestionindexcomponent.py:113-136):
+    sortScore = distanceScore * score^2 * (2 * matchScore)."""
+    v = value.lower()
+    sug = F.lower(F.col("suggestion"))
+    distance_score = F.greatest(
+        F.lit(0.0), -F.log(F.levenshtein(F.lit(v), sug) + F.lit(1.0)) / 4 + 1
+    )
+    words = [w for w in v.split() if w]
+    match_score = None
+    for w in words:
+        m = F.when(F.instr(sug, w) > 0, F.lit(1)).otherwise(F.lit(0))
+        match_score = m if match_score is None else match_score + m
+    match_score = match_score if match_score is not None else F.lit(0)
+    out = suggestions.select(
+        "suggestion",
+        "score",
+        F.round(distance_score, 6).alias("distanceScore"),
+        match_score.cast("int").alias("matchScore"),
+        F.round(
+            distance_score * F.col("score") * F.col("score") * (match_score * 2), 6
+        ).alias("sortScore"),
+    )
+    return out.orderBy(F.col("sortScore").desc(), F.col("suggestion").asc()).limit(top)

@@ -1,0 +1,88 @@
+"""Streaming ingest: micro-batch = commit (reference S8 policy),
+upsert/delete semantics (Lucene.java:166-181), searcher refresh."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meresco_lucene_spark.query.executor import hits
+from meresco_lucene_spark.query.ir import Q
+from meresco_lucene_spark.streaming.ingest import IngestSink, stream_ingest
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "_deleted"]), SCHEMA)
+
+
+def test_upsert_and_delete_batches(spark, tmp_path):
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(
+        _batch(spark, [(1, "hello world", None), (2, "spark engine", None)]), 0
+    )
+    state = sink.current_state()
+    assert state.count() == 2
+
+    # epoch 1: update doc 1 (updateDocument = replace), add doc 3
+    sink.process_batch(
+        _batch(spark, [(1, "hello updated", None), (3, "third doc", None)]), 1
+    )
+    state = sink.current_state()
+    assert state.count() == 3
+    assert (
+        state.filter(F.col("doc_id") == 1).collect()[0]["text"] == "hello updated"
+    )
+
+    # epoch 2: delete doc 2
+    sink.process_batch(_batch(spark, [(2, None, True)]), 2)
+    state = sink.current_state()
+    assert {r["doc_id"] for r in state.collect()} == {1, 3}
+
+    # searcher refresh: new index reflects latest commit
+    idx = sink.searchable_index(text_cols=["text"])
+    assert idx.num_docs() == 2
+    got = {r["doc_id"] for r in hits(idx, Q.term("text", "updated")).collect()}
+    assert got == {1}
+    assert hits(idx, Q.term("text", "world")).count() == 0  # old version gone
+
+
+def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
+    """Drive a real Structured Streaming query from a file source; each
+    micro-batch lands as one commit."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _batch(spark, [(10, "alpha beta", None), (11, "beta gamma", None)]).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    sink, query = stream_ingest(
+        stream,
+        str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+        assert sink.current_state().count() == 2
+
+        _batch(spark, [(12, "gamma delta", None)]).write.mode("append").parquet(
+            str(src)
+        )
+        query.processAllAvailable()
+        state = sink.current_state()
+        assert {r["doc_id"] for r in state.collect()} == {10, 11, 12}
+    finally:
+        query.stop()
+
+    idx = sink.searchable_index(text_cols=["text"])
+    assert {r["doc_id"] for r in hits(idx, Q.term("text", "gamma")).collect()} == {11, 12}
