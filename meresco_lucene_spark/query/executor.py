@@ -35,6 +35,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 if TYPE_CHECKING:  # avoid circular import (builder imports query.bm25)
@@ -77,7 +78,40 @@ def hits(index: InvertedIndex, q: Q, quantized: bool | None = None) -> DataFrame
         return _range_hits(index, q)
     if t == "DrillDown":
         return _drilldown_hits(index, q)
+    if t == "DistanceQuery":
+        return _distance_hits(index, q)
     raise ValueError(f"unsupported query type {t}")
+
+
+EARTH_RADIUS_M = 6371008.7714  # mean radius, matches Lucene's GeoUtils
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (pure column math)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def _distance_hits(index: InvertedIndex, q: Q) -> DataFrame:
+    """Q8 geo distance: docs whose point lies within maxDistance meters
+    of (lat, lon); constant score (Lucene LatLonPoint distance queries
+    are constant-score). The geo field is either a struct column with
+    lat/lon subfields or a pair of `<field>_lat`/`<field>_lon` columns."""
+    lat, lon = q.value
+    fwd = index.forward
+    if q.field in fwd.columns and isinstance(
+        fwd.schema[q.field].dataType, StructType
+    ):
+        lat_c, lon_c = F.col(f"{q.field}.lat"), F.col(f"{q.field}.lon")
+    else:
+        lat_c, lon_c = F.col(f"{q.field}_lat"), F.col(f"{q.field}_lon")
+    dist = haversine_meters(lat_c, lon_c, F.lit(float(lat)), F.lit(float(lon)))
+    return fwd.filter(dist <= float(q.lower)).select(
+        "doc_id", F.lit(1.0 * q.boost).alias("score")
+    )
 
 
 def index_quantized(index: InvertedIndex, override: bool | None) -> bool:

@@ -98,6 +98,15 @@ class Q:
         return Q.boolean((MUST, base), *[(MUST_NOT, q) for q in nots])
 
     @staticmethod
+    def distance(field: str, lat: float, lon: float, max_meters: float) -> "Q":
+        """Geo distance query (reference Q8: LatLonPoint.newDistanceQuery,
+        JsonQueryConverter.java:333-339; client converts km -> m,
+        queryexpressiontolucenequerydict.py:252)."""
+        return Q(
+            type="DistanceQuery", field=field, value=(lat, lon), lower=max_meters
+        )
+
+    @staticmethod
     def drilldown(dim: str, path: list[str], boost: float = 1.0) -> "Q":
         """Facet drilldown term (reference JsonQueryConverter.java:353-369:
         term ``$facets:dim/path``)."""
@@ -136,6 +145,8 @@ class Q:
                 (c["occur"], Q.from_dict(c)) for c in d["clauses"]
             )
             return Q(type="BooleanQuery", clauses=clauses, boost=boost)
+        if t == "DistanceQuery":
+            return Q.distance(d["field"], d["lat"], d["lon"], d["maxDistance"])
         raise ValueError(f"unknown query type: {t}")
 
     def to_dict(self) -> dict:
