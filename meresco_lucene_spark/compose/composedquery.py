@@ -256,6 +256,37 @@ def execute_composed(
                 score = F.lit(1.0 - ratio) * score + F.lit(ratio) * factor
             return h.select("doc_id", score.alias("score"))
 
+    # ---- 4b. join sort (J7/C9, MultiLucene.java:145-156): sort keys that
+    # name another core resolve through the key mapping — the other
+    # core's (key, value) pairs are joined onto the result forward table
+    # as synthetic sort columns. Duplicate keys take min(value)
+    # (deterministic; the reference's JoinSortCollector keeps an
+    # arbitrary doc's slot).
+    sort_keys = list(cq.sort_keys or [])
+    if any("core" in sk for sk in sort_keys):
+        import dataclasses
+
+        aug = result_idx.forward
+        resolved: list[dict] = []
+        for i, sk in enumerate(sort_keys):
+            if "core" not in sk:
+                resolved.append(sk)
+                continue
+            other = sk["core"]
+            result_key = cq.key_name(result_core, other)
+            other_key = cq.key_name(other, result_core)
+            syn = f"_joinsort_{i}"
+            vals = (
+                cores[other].forward.filter(F.col(sk["sortBy"]).isNotNull())
+                .groupBy(other_key)
+                .agg(F.min(sk["sortBy"]).alias(syn))
+                .withColumnRenamed(other_key, result_key)
+            )
+            aug = aug.join(F.broadcast(vals), result_key, "left")
+            resolved.append({**{k: v for k, v in sk.items() if k != "core"}, "sortBy": syn})
+        result_idx = dataclasses.replace(result_idx, forward=aug)
+        sort_keys = resolved
+
     # ---- 5. result-core query -------------------------------------------
     result_query = _query_with_drilldowns(cq, result_core) or Q.matchall()
     response = search(
@@ -265,7 +296,7 @@ def execute_composed(
         key_filters=key_filters,
         start=cq.start,
         stop=cq.stop,
-        sort_keys=cq.sort_keys or None,
+        sort_keys=sort_keys or None,
         facets=cq.facets.get(result_core, []),
         dedup_field=cq.dedup_field,
         dedup_sort_fields=cq.dedup_sort_fields,

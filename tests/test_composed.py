@@ -422,6 +422,22 @@ def test_relational_filter_query(cores):
     assert r.total == 2 and set(got) == {"A-MQ", "A-MQU"}
 
 
+def test_join_sort(cores):
+    """J7/C9: sort coreA results by coreB's intField via the key mapping
+    (JoinSortCollector semantics, MultiLucene.java:145-156)."""
+    cq = ComposedQuery("coreA")
+    cq.set_core_query("coreB", Q.term("N", "true"))
+    cq.add_match("coreA", "A", "coreB", "B")
+    # coreB intField (min per key): key5->1, key6->2, key7->3, key8->4
+    cq.sort_keys = [{"sortBy": "intField", "core": "coreB", "sortDescending": True}]
+    r, got = ids(cores, cq)
+    assert r.total == 4
+    assert got == ["A-MQU", "A-MQ", "A-MU", "A-M"]
+    cq.sort_keys = [{"sortBy": "intField", "core": "coreB", "sortDescending": False}]
+    r, got = ids(cores, cq)
+    assert got == ["A-M", "A-MU", "A-MQ", "A-MQU"]
+
+
 def test_relational_not_filter(cores):
     """testRelationalFilter: NOT(coreA:M=true AND coreB:O=true)."""
     cq = ComposedQuery("coreA", queries={"coreA": Q.term("M", "true")})
