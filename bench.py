@@ -65,15 +65,18 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
     # --- 1. DataFrame index build over the documents table ---------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    t, idx = timed(
-        lambda: InvertedIndex.build(
+    def _build_and_materialize():
+        ix = InvertedIndex.build(
             docs,
             id_col="doc_id",
             text_cols=["text"],
             keyword_cols=["lang", "source"],
             facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
         )
-    )
+        ix.postings.count()  # materialize the cache inside the timing
+        return ix
+
+    t, idx = timed(_build_and_materialize)
     queries["index_build_documents"] = round(t, 3)
     df_index_docs_per_sec = n_docs / t
     entry_queries._INDEX_CACHE[(id(spark), sf_dir)] = idx
