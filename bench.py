@@ -117,6 +117,10 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
     queries["wand_term_top10"] = round(t, 3)
     t, _ = timed(lambda: seg.term_topk("struct", 10).collect())
     queries["wand_term_top10_mid"] = round(t, 3)
+    t, _ = timed(lambda: seg.or_topk(["import", "struct"], 10).collect())
+    queries["wand_or_top10"] = round(t, 3)
+    t, _ = timed(lambda: seg.and_topk(["import", "return"], 10).collect())
+    queries["wand_and_top10"] = round(t, 3)
 
     corpus.unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)

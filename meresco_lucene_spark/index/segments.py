@@ -170,6 +170,135 @@ class SegmentIndex:
         )
         return grouped.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def or_topk(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact disjunctive (SHOULD) BM25 top-k with block-max pruning.
+
+        Distributed block-max WAND adaptation: postings of different
+        terms live in different shards, so document-at-a-time pointer
+        walks don't apply; instead
+          1. θ = k-th best single-term score over the per-term WAND
+             top-k's (every single-term score lower-bounds that doc's
+             total, so θ lower-bounds the true k-th total);
+          2. a block survives iff block_max + Σ_{other terms} term_max
+             >= θ — any doc whose blocks are all pruned has total < θ,
+             so candidates ⊇ the true top-k (proof in test);
+          3. candidates are re-scored EXACTLY over all their postings
+             (semi-join), then global top-k.
+        """
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if len(terms) == 1:
+            return self.term_topk(terms[0], k)
+
+        # per-term exact max (tight: max of block maxes) + θ from the
+        # single-term top-k's
+        term_max: dict[str, float] = {}
+        theta_scores: list[float] = []
+        for t in terms:
+            blocks = self.blocks_for_term(t)
+            row = blocks.agg(F.max("block_max_score").alias("m")).collect()[0]
+            term_max[t] = float(row["m"]) if row["m"] is not None else 0.0
+            theta_scores.extend(
+                r["score"] for r in self.term_topk(t, k).collect()
+            )
+        theta_scores.sort(reverse=True)
+        theta = theta_scores[k - 1] if len(theta_scores) >= k else -float("inf")
+        total_max = sum(term_max.values())
+
+        cand_parts = []
+        for t in terms:
+            bound_others = total_max - term_max[t]
+            blocks = self.blocks_for_term(t).filter(
+                F.col("block_max_score") + F.lit(bound_others) >= F.lit(theta)
+            )
+            cand_parts.append(self._decode_blocks(blocks).select("doc_id"))
+        candidates = cand_parts[0]
+        for p in cand_parts[1:]:
+            candidates = candidates.unionByName(p)
+        candidates = candidates.distinct()
+
+        scored = None
+        for t in terms:
+            part = self.term_scores(t).join(candidates, "doc_id", "left_semi")
+            scored = part if scored is None else scored.unionByName(part)
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def and_topk(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact conjunctive (MUST) BM25 top-k: candidates driven by the
+        rarest term's postings (smallest df — the classic leapfrog), the
+        other terms semi-join down, score = Σ per-term BM25."""
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if len(terms) == 1:
+            return self.term_topk(terms[0], k)
+        dfs = {
+            r["term"]: r["df"]
+            for r in self.term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+        if len(dfs) < len(terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        order = sorted(terms, key=lambda t: dfs[t])
+        candidates = self._decode_blocks(self.blocks_for_term(order[0])).select("doc_id")
+        for t in order[1:]:
+            candidates = candidates.join(
+                self._decode_blocks(self.blocks_for_term(t)).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        scored = None
+        for t in terms:
+            part = self.term_scores(t).join(candidates, "doc_id", "left_semi")
+            scored = part if scored is None else scored.unionByName(part)
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def term_scores(self, term: str) -> DataFrame:
+        """Exact (doc_id, score) frame for one term from the blocks."""
+        stats = self.term_stats.filter(F.col("term") == term).select("df").collect()
+        if not stats:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        df_t = float(stats[0]["df"])
+        meta = self.meta
+        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
+
+        def _score(it):
+            for pdf in it:
+                for _, row in pdf.iterrows():
+                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
+                    dls = varint_decode(row["dl_bytes"]).astype(float)
+                    scores = bm25_score_numpy(
+                        tfs.astype(float), df_t, dls, n, avgdl, k1, b
+                    )
+                    yield pd.DataFrame(
+                        {"doc_id": doc_ids.astype("int64"), "score": scores}
+                    )
+
+        return self.blocks_for_term(term).mapInPandas(
+            _score, schema="doc_id long, score double"
+        )
+
+    def _decode_blocks(self, blocks: DataFrame) -> DataFrame:
+        def _decode(it):
+            for pdf in it:
+                for _, row in pdf.iterrows():
+                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
+                    yield pd.DataFrame(
+                        {"doc_id": doc_ids.astype("int64"), "tf": tfs.astype("int64")}
+                    )
+
+        return blocks.mapInPandas(_decode, schema="doc_id long, tf long")
+
     def term_postings(self, term: str) -> DataFrame:
         """Decode a term's blocks back to (doc_id, tf) rows."""
         blocks = self.blocks_for_term(term)

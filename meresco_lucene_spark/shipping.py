@@ -20,11 +20,21 @@ _SHIPPED: set[str] = set()
 
 
 def package_zip_path() -> str:
-    """Build (once per process) a zip of meresco_lucene_spark for
-    --py-files / addPyFile."""
+    """Build a zip of meresco_lucene_spark for --py-files / addPyFile.
+
+    Rebuilt whenever any package source is newer than the cached zip —
+    a stale zip silently ships OLD code to executors (new modules raise
+    ModuleNotFoundError inside UDF deserialization)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "meresco_lucene_spark_pyfiles.zip")
-    if not os.path.exists(out):
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

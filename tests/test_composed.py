@@ -326,6 +326,22 @@ def test_join_query_three_cores(cores):
     ]
 
 
+def test_rank_blend_exact_value(cores):
+    """F6 (LuceneTest.java:480-504): ratio 0.4, own score 1.0, one other
+    score 1.0 => blended exactly (1-0.4)*1.0 + 0.4*(1*(1+1.0)) = 1.4."""
+    cq = ComposedQuery("coreA")
+    cq.set_core_query("coreA", Q.matchall())
+    cq.add_rank_query("coreB", Q.matchall())  # MatchAll scores 1.0
+    cq.rank_query_score_ratio = 0.4
+    cq.add_match("coreA", "A", "coreB", "B")
+    r = execute_composed(cores, cq)
+    by_id = {h.id: h.score for h in r.hits}
+    # coreA docs with a coreB key match (A in 5..8): 0.6*1 + 0.4*(1+1) = 1.4
+    assert abs(by_id[4] - 1.4) < 1e-9  # A-M (doc_id 4, A=5)
+    # without match: 0.6*1 + 0.4*1 = 1.0
+    assert abs(by_id[0] - 1.0) < 1e-9
+
+
 def test_rank_query(cores):
     cq = ComposedQuery("coreA")
     cq.set_core_query("coreA", Q.matchall())

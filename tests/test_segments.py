@@ -55,6 +55,64 @@ def test_wand_rank_identity(spark, seg, term):
     assert got == exhaustive_topk(spark, seg, term, 10)
 
 
+def exhaustive_multi_topk(spark, seg, terms, mode, k=10):
+    import collections
+
+    totals: dict[int, float] = collections.defaultdict(float)
+    matched: dict[int, int] = collections.defaultdict(int)
+    for t in set(terms):
+        for d, s in exhaustive_scores(spark, seg, t):
+            totals[d] += s
+            matched[d] += 1
+    n_terms = len(set(terms))
+    items = [
+        (d, s)
+        for d, s in totals.items()
+        if mode == "or" or matched[d] == n_terms
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in items[:k]]
+
+
+def exhaustive_scores(spark, seg, term):
+    import os as _os
+
+    post = seg.term_postings(term).toPandas()
+    if not len(post):
+        return []
+    docs = spark.read.parquet(_os.path.join(seg.out_dir, "docs")).toPandas().set_index("doc_id")
+    from pyspark.sql import functions as F
+
+    dft = seg.term_stats.filter(F.col("term") == term).collect()[0]["df"]
+    s = bm25_score_numpy(
+        post["tf"].to_numpy(float),
+        float(dft),
+        docs.loc[post["doc_id"], "dl"].to_numpy(float),
+        seg.meta["n_docs"],
+        seg.meta["avgdl"],
+    )
+    return list(zip(post["doc_id"].astype(int), s))
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [["import", "return"], ["def", "self", "fn"], ["import", "nosuchterm"]],
+)
+def test_or_topk_rank_identity(spark, seg, terms):
+    got = [(r.doc_id, round(r.score, 9)) for r in seg.or_topk(terms, 10).collect()]
+    assert got == exhaustive_multi_topk(spark, seg, terms, "or")
+
+
+@pytest.mark.parametrize("terms", [["import", "return"], ["def", "int", "self"]])
+def test_and_topk_rank_identity(spark, seg, terms):
+    got = [(r.doc_id, round(r.score, 9)) for r in seg.and_topk(terms, 10).collect()]
+    assert got == exhaustive_multi_topk(spark, seg, terms, "and")
+
+
+def test_and_topk_missing_term_empty(spark, seg):
+    assert seg.and_topk(["import", "nosuchterm"], 10).count() == 0
+
+
 def test_hot_term_salted(seg):
     """df >= 5% of docs => postings spread over salt_buckets shards."""
     assert len(seg.term_shards("import")) == SALTS
