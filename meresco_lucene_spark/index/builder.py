@@ -101,6 +101,7 @@ class InvertedIndex:
         text_cols: list[str] | None = None,
         keyword_cols: list[str] | None = None,
         array_cols: list[str] | None = None,
+        dutch_cols: list[str] | None = None,
         positions: bool = True,
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
@@ -117,6 +118,9 @@ class InvertedIndex:
                        fieldregistry.py:31-37) — tf=1, norms omitted
         array_cols   : pre-tokenized array<string> fields indexed as-is
                        (e.g. the suggestion char-ngram fields)
+        dutch_cols   : Dutch-stemmed text fields (reference
+                       MerescoDutchStemmingAnalyzer: original + stem per
+                       token, deduped)
         facet_fields : facet dim -> list of path columns (reference
                        taxonomy facets; a 1-element list is a flat dim)
         """
@@ -124,16 +128,27 @@ class InvertedIndex:
         text_cols = list(text_cols or [])
         keyword_cols = list(keyword_cols or [])
         array_cols = list(array_cols or [])
+        dutch_cols = list(dutch_cols or [])
         doc = F.col(id_col).alias("doc_id")
 
         posting_parts: list[DataFrame] = []
         length_parts: list[DataFrame] = []
-        for col, pre_tok in [(c, False) for c in text_cols] + [
-            (c, True) for c in array_cols
-        ]:
+        col_plans = (
+            [(c, "text") for c in text_cols]
+            + [(c, "array") for c in array_cols]
+            + [(c, "dutch") for c in dutch_cols]
+        )
+        for col, kind in col_plans:
             # JVM tokenizer (codegen) — the pandas-UDF twin exists for
             # exotic folds; contracts are identical (tokenizer.py).
-            tok_expr = F.col(col) if pre_tok else tokenize_expr(F.col(col))
+            if kind == "array":
+                tok_expr = F.col(col)
+            elif kind == "dutch":
+                from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
+
+                tok_expr = tokenize_dutch_udf(F.col(col))
+            else:
+                tok_expr = tokenize_expr(F.col(col))
             toks = df.select(doc, tok_expr.alias("tokens"))
             exploded = toks.select(
                 "doc_id", F.posexplode_outer("tokens").alias("pos", "term")

@@ -45,6 +45,17 @@ def test_keyword_repeat_dedup_shape():
     ]
 
 
+def test_dutch_cols_builder_param(spark):
+    """dutch_cols on InvertedIndex.build applies the stemming analyzer
+    directly (no manual token column)."""
+    pdf = pd.DataFrame({"doc_id": [1, 2], "field5": ["hond en kat", "de katten"]})
+    idx = InvertedIndex.build(
+        spark.createDataFrame(pdf), id_col="doc_id", dutch_cols=["field5"], cache=False
+    )
+    got = {r["doc_id"] for r in hits(idx, Q.term("field5", "kat")).collect()}
+    assert got == {1, 2}
+
+
 def test_stemmed_field_matches_both_forms(spark):
     """field indexed with Dutch stemming: query 'katten' and 'kat' both
     match; a doc containing 'kat' matches query 'katten' too."""

@@ -197,6 +197,33 @@ def test_drilldown(idx):
     assert set(got) == {2}
 
 
+def test_quantized_scoring_end_to_end(spark):
+    """quantized=True scores with the SmallFloat-rounded dl — the
+    Lucene-8 parity mode (SURVEY §1.4). dl=20 quantizes to 20 exactly?
+    no: 20 -> (20>>1&7|8)<<1 = 20; use dl=19 -> 18."""
+    import math
+
+    from meresco_lucene_spark.query.bm25 import quantize_dl
+    import numpy as np
+
+    words = ["filler%d" % i for i in range(18)] + ["target"]  # dl = 19
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [" ".join(words), "target two"]})
+    ix = InvertedIndex.build(
+        spark.createDataFrame(pdf), id_col="doc_id", text_cols=["text"],
+        quantized=True, cache=False,
+    )
+    got = {r["doc_id"]: r["score"] for r in hits(ix, Q.term("text", "target")).collect()}
+    n, avgdl = 2, (19 + 2) / 2
+    q19 = int(quantize_dl(np.array([19]))[0])
+    assert q19 == 18  # the quantization actually changes this dl
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    expect0 = idf * 1 / (1 + K1 * (1 - B + B * q19 / avgdl))
+    assert abs(got[0] - expect0) < 1e-9
+    # unquantized differs
+    expect0_raw = idf * 1 / (1 + K1 * (1 - B + B * 19 / avgdl))
+    assert abs(got[0] - expect0_raw) > 1e-6
+
+
 def test_quantized_norms_change_dl(idx):
     # dl=5 is <8 so exact; craft check via norm_dl column equality instead
     rows = {r["doc_id"]: (r["dl"], r["norm_dl"]) for r in idx.lengths_for("text").collect()}
