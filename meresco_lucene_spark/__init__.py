@@ -20,6 +20,9 @@ from meresco_lucene_spark.session import get_spark
 from meresco_lucene_spark.index.builder import InvertedIndex
 from meresco_lucene_spark.query.ir import Q
 from meresco_lucene_spark.query.executor import LuceneResponse, search
+from meresco_lucene_spark.query.cql import cql_to_query
+from meresco_lucene_spark.compose.composedquery import ComposedQuery, execute_composed
+from meresco_lucene_spark.compose.relational import RQ
 
 __all__ = [
     "get_spark",
@@ -27,4 +30,8 @@ __all__ = [
     "Q",
     "LuceneResponse",
     "search",
+    "cql_to_query",
+    "ComposedQuery",
+    "execute_composed",
+    "RQ",
 ]

@@ -11,20 +11,20 @@ Layout under ``out_dir``:
   term_stats/  (term, df, cf, base_shard, n_salts, max_score)
   postings/    partitioned by shard:
                (term, block_id, doc_count, min_doc, max_doc,
-                block_max_score, doc_bytes, tf_bytes)
+                block_max_score, doc_bytes, tf_bytes, dl_bytes)
   lineage/     (shard, n_terms, n_blocks, n_postings, bytes,
                 content_sha256, run_id)
   meta.json    {n_docs, sum_dl, avgdl, n_shards, salt_buckets, k1, b,
-                block_size, hot_df_fraction}
+                block_size, hot_df_fraction, quantized}
 
-Sharding & skew (SURVEY.md §7.3): ``base_shard = hash(term) % n_shards``.
-A term whose df exceeds ``hot_df_fraction * N`` is *salted*: its postings
-spread over ``salt_buckets`` consecutive shards
+Sharding & skew (SURVEY.md §7.3): ``base_shard = xxhash64(term) %
+n_shards`` (JVM-side, codegen'd, deterministic across sessions for
+resume). A term whose df exceeds ``hot_df_fraction * N`` is *salted*:
+its postings spread over ``salt_buckets`` consecutive shards
 (``(base_shard + doc_id % n_salts) % n_shards``), so no single shard
 swallows a whole hot posting list ('import'/'return' hit nearly every
 source file). Queries fan back in by reading the n_salts shards recorded
-in term_stats. The hash is a pure-Python/numpy FNV-1a so driver, build
-and query sides agree without a JVM round-trip.
+in term_stats — the query side never recomputes the hash.
 
 Resume: each fully-written shard appends a lineage row whose
 content_sha256 covers the shard's decoded logical content. On resume,
