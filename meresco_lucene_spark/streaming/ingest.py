@@ -50,11 +50,25 @@ class IngestSink:
         )
         self.epochs.append(epoch_id)
 
+    def delete_where(self, predicate, epoch_id: int) -> int:
+        """S4 deleteDocuments(query) (Lucene.java:178-181): tombstone
+        every current doc matching the predicate (a Column or SQL string)
+        as one commit. Returns the number of docs deleted."""
+        matches = self.current_state().filter(predicate).select(self.id_col)
+        rows = matches.collect()
+        if not rows:
+            return 0
+        tombstones = matches.withColumn("_deleted", F.lit(True))
+        self.process_batch(tombstones, epoch_id)
+        return len(rows)
+
     def current_state(self) -> DataFrame:
         """Latest row per doc id across all committed epochs, minus
         deletions — the reference's post-refresh index contents."""
-        df = self.spark.read.option("basePath", self.state_dir).parquet(
-            os.path.join(self.state_dir, "epoch=*")
+        df = (
+            self.spark.read.option("basePath", self.state_dir)
+            .option("mergeSchema", "true")  # tombstone epochs carry fewer cols
+            .parquet(os.path.join(self.state_dir, "epoch=*"))
         )
         has_deleted = "_deleted" in df.columns
         order = [F.col("_epoch").desc()]

@@ -56,6 +56,24 @@ def test_upsert_and_delete_batches(spark, tmp_path):
     assert hits(idx, Q.term("text", "world")).count() == 0  # old version gone
 
 
+def test_delete_where_query(spark, tmp_path):
+    """S4 deleteDocuments(query): predicate-based delete as one commit."""
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(
+        _batch(
+            spark,
+            [(1, "keep me", None), (2, "drop me", None), (3, "drop me too", None)],
+        ),
+        0,
+    )
+    n = sink.delete_where(F.col("text").startswith("drop"), epoch_id=1)
+    assert n == 2
+    state = sink.current_state()
+    assert {r["doc_id"] for r in state.collect()} == {1}
+    # deleting nothing is a no-op commit
+    assert sink.delete_where(F.col("text") == "absent", epoch_id=2) == 0
+
+
 def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     """Drive a real Structured Streaming query from a file source; each
     micro-batch lands as one commit."""
