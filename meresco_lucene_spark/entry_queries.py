@@ -170,7 +170,6 @@ def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = scored_hits_df(idx, Q.matchall()).join(
         idx.forward.select("doc_id", "n_chars"), "doc_id"
     )
-    ordered = h.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     # start=10, stop=20 -> rows [10, 20)
     w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (

@@ -218,20 +218,30 @@ def minhash_near_duplicates(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
-    verify on candidates only. Returns (id_a, id_b, jaccard >= threshold)."""
+    verify on candidates only. Returns (id_a, id_b, jaccard >= threshold).
+
+    The verify is candidate-driven: candidate pairs join each side's
+    shingles FIRST (cands ⋈ sh(id_a) ⋈ sh(id_b) on shingle equality), so
+    intersection counts are computed only for LSH candidates. An earlier
+    version self-joined ALL shingle-sharing pairs before semi-joining
+    the candidates — Catalyst cannot push a pair-level semi-join below a
+    self-join, so one boilerplate shingle made that path all-pairs
+    quadratic. max_df additionally drops stop-shingles shared by more
+    than max_df docs (mirrors the index builder's hot-term salting
+    story); it caps the per-shingle fanout of the verify join itself."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
     cands = minhash_lsh_candidates(sigs, bands, rows)
-    sh = _shingles_df(df, id_col, text_col, n).persist()
+    sh = _shingles_df(df, id_col, text_col, n, max_df).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cands, ["id_a", "id_b"], "left_semi")
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
@@ -278,21 +288,47 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.select("doc_id", simhash(F.col("_t")).alias("simhash"))
 
 
+def _simhash_band_exprs(n_bands: int) -> list:
+    """(band, bucket) struct exprs splitting the 64-bit simhash into
+    n_bands contiguous bit ranges (widths as even as possible)."""
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    exprs, off = [], 0
+    for i, w in enumerate(widths):
+        mask = (1 << w) - 1
+        exprs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+        )
+        off += w
+    return exprs
+
+
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs by 16-bit band equality (any of 4 bands equal =>
-    hamming <= 48 possible; exact hamming filter after). With
-    max_hamming <= 3 and 4 bands, pigeonhole guarantees recall=1."""
+    """Candidate pairs by band equality, exact hamming filter after.
+
+    Recall guarantee (pigeonhole): with n_bands = max_hamming + 1
+    disjoint bands, a pair at hamming distance <= max_hamming differs in
+    at most max_hamming bands, so at least one band matches — recall = 1
+    at the requested threshold (an earlier fixed-4-band version silently
+    missed pairs at distance 4..8 when max_hamming was raised above 3)."""
+    n_bands = max(2, max_hamming + 1)
     sigs = simhash_signatures(df, id_col, text_col).persist()
     banded = sigs.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"
-            )
-        ).alias("band", "bucket"),
+        F.explode(F.array(*_simhash_band_exprs(n_bands))).alias("_bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bucket"

@@ -233,9 +233,17 @@ def _bool_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
             .filter(F.col("_nm") == len(musts))
             .select("doc_id", "score")
         )
-    else:
-        # Pure filter/not query: matches score 0 (Lucene FILTER semantics).
+    elif filters:
+        # FILTER-only query: every doc passing the filters matches, score 0
+        # (Lucene FILTER semantics).
         base = index.forward.select("doc_id", F.lit(0.0).alias("score"))
+    else:
+        # No positive clauses at all (pure MUST_NOT, or empty boolean):
+        # Lucene and the reference match NOTHING (BooleanQuery requires at
+        # least one positive clause to produce hits).
+        return (
+            index.forward.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+        )
 
     for c in filters:
         base = base.join(
@@ -441,12 +449,15 @@ def search(
     ]  # facets see all (pre-dedup) hits, like FacetSuperCollector
 
     total_with_dupes = None
+    persisted = None
     if dedup_field:
         # DeDupFilterSuperCollector (search/DeDupFilterSuperCollector.java:43-109):
         # group by the dedup key doc-value, keep the best doc per group
         # (by dedup sort fields, else highest score), report per-group
         # counts and the pre-dedup total. Docs without a key value are
-        # their own group.
+        # their own group. The pre-dedup frame is persisted so the two
+        # totals + page collect share one computation of the hit set.
+        h = persisted = h.persist()
         total_with_dupes = h.count()
         group = F.coalesce(
             F.col(dedup_field).cast("string"),
@@ -471,6 +482,8 @@ def search(
     total = h.count()
     ordered = h.orderBy(*sort_exprs(sort_keys))
     rows = ordered.limit(stop).collect()[start:stop]
+    if persisted is not None:
+        persisted.unpersist()
     hits_out = []
     for r in rows:
         d = r.asDict()

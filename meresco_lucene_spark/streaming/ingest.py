@@ -50,17 +50,42 @@ class IngestSink:
         )
         self.epochs.append(epoch_id)
 
-    def delete_where(self, predicate, epoch_id: int) -> int:
+    def delete_where(self, predicate, epoch_id: int | None = None) -> int:
         """S4 deleteDocuments(query) (Lucene.java:178-181): tombstone
         every current doc matching the predicate (a Column or SQL string)
-        as one commit. Returns the number of docs deleted."""
-        matches = self.current_state().filter(predicate).select(self.id_col)
-        rows = matches.collect()
+        as one commit. Returns the number of docs deleted.
+
+        The matched ids are materialized driver-side once (collect ->
+        createDataFrame) before writing: the tombstone frame must not
+        lazily re-read the epoch=* state glob it is about to extend, and
+        the predicate must not be evaluated twice against moving state.
+        epoch_id defaults to max(existing)+1; an explicit epoch_id that
+        collides with a committed epoch is rejected instead of
+        clobbering it."""
+        existing = self._existing_epochs()
+        if epoch_id is None:
+            epoch_id = max(existing, default=-1) + 1
+        elif epoch_id in existing:
+            raise ValueError(
+                f"epoch {epoch_id} is already committed in {self.state_dir}"
+            )
+        rows = self.current_state().filter(predicate).select(self.id_col).collect()
         if not rows:
             return 0
-        tombstones = matches.withColumn("_deleted", F.lit(True))
+        tombstones = self.spark.createDataFrame(rows).withColumn(
+            "_deleted", F.lit(True)
+        )
         self.process_batch(tombstones, epoch_id)
         return len(rows)
+
+    def _existing_epochs(self) -> list[int]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        return [
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.state_dir)
+            if e.startswith("epoch=")
+        ]
 
     def current_state(self) -> DataFrame:
         """Latest row per doc id across all committed epochs, minus

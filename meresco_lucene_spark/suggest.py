@@ -25,13 +25,11 @@ single query path.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from meresco_lucene_spark.analysis.tokenizer import char_ngrams, tokenize_text
 from meresco_lucene_spark.index.builder import InvertedIndex
@@ -62,7 +60,13 @@ def build_suggestion_index(
     df: DataFrame, value_col: str, key_col: str | None = None
 ) -> SuggestionIndex:
     """df: records with a suggestion-value column (+ optional int key).
-    Distinct values get stable doc ids (dense rank over value order)."""
+    Distinct values get stable doc ids = xxhash64(value): deterministic
+    across runs and fully parallel (an earlier Window.orderBy with no
+    partitionBy serialized every distinct value through one task —
+    a hard single-partition bottleneck at corpus scale). Values are
+    distinct by construction, so ids collide only on a 64-bit hash
+    collision; nothing downstream orders by doc_id (suggest ties break
+    on the suggestion string)."""
     sel = [F.col(value_col).alias("suggestion")]
     if key_col:
         sel.append(F.col(key_col).alias("_key"))
@@ -75,8 +79,7 @@ def build_suggestion_index(
         grouped = vals.distinct().withColumn(
             "keys", F.array().cast("array<long>")
         )
-    w = Window.orderBy("suggestion")
-    values = grouped.withColumn("doc_id", F.row_number().over(w).cast("long"))
+    values = grouped.withColumn("doc_id", F.xxhash64(F.col("suggestion")))
 
     from pyspark.sql import types as T
 

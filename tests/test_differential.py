@@ -78,8 +78,11 @@ class PyIndex:
                 out[d] = sum(m[d] for m in musts) + sum(
                     s.get(d, 0.0) for s in shoulds
                 )
-        else:
+        elif filters:
             out = {d: 0.0 for d in range(self.n)}
+        else:
+            # pure-prohibited / empty boolean matches nothing (Lucene)
+            out = {}
         for f in filters:
             out = {d: s for d, s in out.items() if d in f}
         for nt in nots:
@@ -92,7 +95,8 @@ def _random_query(rng, depth=0):
         return Q.term("text", rng.choice(VOCAB), boost=rng.choice([1.0, 2.0]))
     n = rng.randint(2, 3)
     occurs = rng.choices([MUST, SHOULD, MUST_NOT, FILTER], weights=[4, 4, 1, 1], k=n)
-    # a bool query of only MUST_NOT/FILTER matches-all-score-0; allow it
+    # FILTER-only matches-all-score-0; MUST_NOT-only matches nothing — both
+    # semantics are implemented identically in engine and evaluator.
     clauses = tuple((occ, _random_query(rng, depth + 1)) for occ in occurs)
     return Q.boolean(*clauses)
 

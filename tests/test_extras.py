@@ -81,6 +81,63 @@ def test_simhash_identical_docs_collide(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_band_recall_at_high_hamming(docs):
+    """Pigeonhole recall: with n_bands = max_hamming + 1, EVERY pair at
+    hamming <= max_hamming must be a candidate. Brute-force the exact
+    hamming pairs from the signatures and compare (the old fixed-4-band
+    split only guaranteed hamming <= 3 and silently missed 4..8)."""
+    sub = docs.filter(F.col("doc_id") < 80)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(sub, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                expect.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(sub, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_skew_boilerplate_shingle(spark):
+    """One boilerplate shingle shared by 10k docs: the verify join must
+    be candidate-driven (cands ⋈ shingles per side), never the raw
+    shingle self-join — the old join order exploded to ~10^8 pair rows
+    on this input. Also: identical output with/without the max_df cap
+    when the capped shingle only removes non-discriminating overlap."""
+    n = 10_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [
+                "common boiler plate header tokens "
+                + " ".join(f"u{i}_{j}" for j in range(16))
+                for i in range(n)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = dedup.minhash_near_duplicates(
+        df, "doc_id", "text", n=5, threshold=0.5, max_df=100
+    ).collect()
+    assert out == []  # no true near-dups; completes without quadratic stage
+
+
+def test_minhash_max_df_threaded(docs):
+    """max_df reaches the verify shingles: with an absurdly low cap every
+    shingle is dropped, so no pair can verify."""
+    out = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, threshold=0.1, max_df=0
+    ).collect()
+    assert out == []
+
+
 def test_ann_lsh_recall(emb):
     """LSH top-10 must overlap the exact top-10 substantially (multiprobe
     over 12 planes); assert >= 5 of 10 and that every LSH result's cosine

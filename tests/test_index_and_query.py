@@ -130,6 +130,30 @@ def test_bool_must_not(idx):
     assert set(got) == {0, 3, 5}
 
 
+def test_bool_must_not_only_matches_nothing(idx):
+    """A BooleanQuery with only MUST_NOT clauses matches NOTHING (Lucene
+    requires a positive clause; the reference behaves the same). Reachable
+    via Q.from_dict replay of reference query dicts."""
+    got = _hit_map(idx, Q.boolean((MUST_NOT, Q.term("text", "spark"))))
+    assert got == {}
+    # empty boolean also matches nothing
+    assert _hit_map(idx, Q.boolean()) == {}
+
+
+def test_bool_filter_only_matches_all_passing(idx):
+    """FILTER-only boolean: all docs passing the filter, score 0."""
+    got = _hit_map(idx, Q.boolean((FILTER, Q.term("text", "spark"))))
+    assert got == {0: 0.0, 2: 0.0, 4: 0.0, 5: 0.0}
+    # FILTER + MUST_NOT mix keeps the filter-driven base
+    got2 = _hit_map(
+        idx,
+        Q.boolean(
+            (FILTER, Q.term("text", "spark")), (MUST_NOT, Q.term("text", "scan"))
+        ),
+    )
+    assert got2 == {0: 0.0, 4: 0.0, 5: 0.0}
+
+
 def test_bool_filter_does_not_score(idx):
     plain = _hit_map(idx, Q.term("text", "spark"))
     filtered = _hit_map(

@@ -74,6 +74,21 @@ def test_delete_where_query(spark, tmp_path):
     assert sink.delete_where(F.col("text") == "absent", epoch_id=2) == 0
 
 
+def test_delete_where_epoch_safety(spark, tmp_path):
+    """Epoch defaults to max(existing)+1; a colliding explicit epoch is
+    rejected instead of clobbering a committed snapshot."""
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(
+        _batch(spark, [(1, "drop a", None), (2, "drop b", None), (3, "keep", None)]), 5
+    )
+    # auto epoch = 6 (max existing 5 + 1)
+    assert sink.delete_where(F.col("text").startswith("drop")) == 2
+    assert os.path.isdir(str(tmp_path / "state" / "epoch=6"))
+    assert {r["doc_id"] for r in sink.current_state().collect()} == {3}
+    with pytest.raises(ValueError, match="already committed"):
+        sink.delete_where(F.col("text") == "keep", epoch_id=5)
+
+
 def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     """Drive a real Structured Streaming query from a file source; each
     micro-batch lands as one commit."""
