@@ -51,6 +51,14 @@ scored AS (
 """.replace("{k1}", str(K1_DEFAULT)).replace("{b}", str(B_DEFAULT))
 
 
+_DOCS_INDEX_SPEC = dict(
+    id_col="doc_id",
+    text_cols=["text"],
+    keyword_cols=["lang", "source"],
+    facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+)
+
+
 def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:
@@ -58,14 +66,32 @@ def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 
         ensure_shipped(spark)
         df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        _INDEX_CACHE[key] = InvertedIndex.build(
-            df,
-            id_col="doc_id",
-            text_cols=["text"],
-            keyword_cols=["lang", "source"],
-            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
-        )
+        _INDEX_CACHE[key] = InvertedIndex.build(df, **_DOCS_INDEX_SPEC)
     return _INDEX_CACHE[key]
+
+
+_STORE_CACHE: dict[tuple[int, str], str] = {}
+
+
+def get_persistent_index(spark: SparkSession, sf_dir: str):
+    """The seg_* entries' index: a persistent store built ONCE per
+    sf_dir, then REOPENED from disk on every query (a fresh
+    PersistentIndex handle each call — no session-cached DataFrames, no
+    re-tokenization; the reference's durable commit -> search contract)."""
+    from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+
+    key = (id(spark), sf_dir)
+    if key not in _STORE_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = tempfile.mkdtemp(prefix="mls_store_")
+        build_index_store(df, path, **_DOCS_INDEX_SPEC)
+        _STORE_CACHE[key] = path
+    return PersistentIndex(spark, _STORE_CACHE[key])
 
 
 def _round_score(df: DataFrame, col: str = "score") -> DataFrame:
@@ -78,95 +104,95 @@ def _topk(df: DataFrame, k: int = 10) -> DataFrame:
 
 # ------------------------------------------------------------------ queries
 
-def q_term_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_term_bm25_top10(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q2+C1: TermQuery scored with Lucene-8 BM25, top-10 by score."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return _round_score(_topk(hits(idx, Q.term("text", "spark"))))
 
 
-def q_bool_must_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bool_must_top10(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q3 MUST: conjunction, score = sum of clause scores."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.and_(Q.term("text", "merge"), Q.term("text", "vector"))
     return _round_score(_topk(hits(idx, q)))
 
 
-def q_bool_should_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bool_should_top10(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q3 SHOULD: disjunction, score = sum of matching clause scores."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.or_(Q.term("text", "customer"), Q.term("text", "stream"))
     return _round_score(_topk(hits(idx, q)))
 
 
-def q_bool_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bool_must_not(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q3 MUST_NOT: anti-join; count + ids (no scores -> exact)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.not_(Q.term("text", "window"), Q.term("text", "spark"))
     return hits(idx, q).select("doc_id").orderBy("doc_id")
 
 
-def q_bool_filter_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bool_filter_top10(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q3 FILTER: non-scoring conjunctive clause (keyword field)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.boolean((MUST, Q.term("text", "table")), (FILTER, Q.term("lang", "en")))
     return _round_score(_topk(hits(idx, q)))
 
 
-def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_phrase_match(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q4 PhraseQuery: ordered-adjacent 'fast table'; match set only
     (phrase_freq scoring is engine-side; the oracle checks the match
     semantics via token-adjacency regex)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return hits(idx, Q.phrase("text", "fast", "table")).select("doc_id").orderBy("doc_id")
 
 
-def q_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_prefix_docs(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q5 PrefixQuery: constant-score docs containing a 'sca'-prefixed term."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return hits(idx, Q.prefix("text", "sca")).select("doc_id").orderBy("doc_id")
 
 
-def q_matchall_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_matchall_count(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q1+C3: MatchAllDocsQuery + TotalHitCount collector."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return hits(idx, Q.matchall()).agg(F.count("*").cast("long").alias("total"))
 
 
-def q_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_range_numeric(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """Q7 RangeQuery over a numeric doc-value (n_chars), bounds incl/excl."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.range("n_chars", lower=200, upper=400, include_lower=True, include_upper=False)
     return hits(idx, q).select("doc_id").orderBy("doc_id")
 
 
-def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_facet_lang(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """C4 FacetSuperCollector: facet counts over all hits, top terms by
     count desc / term asc."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     all_hits = hits(idx, Q.matchall())
     return facet_counts_df(idx, all_hits, "lang")
 
 
-def q_facet_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_facet_drilldown(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """C4+Q10 hierarchical drilldown: source counts under lang='en'
     (taxonomy path [lang, source], Lucene.java:611-627)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     q = Q.boolean((MUST, Q.term("text", "table")), (FILTER, Q.drilldown("langsrc", ["en"])))
     h = hits(idx, q)
     return facet_counts_df(idx, h, "langsrc", path=["en"]).limit(10)
 
 
-def q_facet_on_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_facet_on_query(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """C4 facets restricted to a query's hit set."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     h = hits(idx, Q.term("text", "join"))
     return facet_counts_df(idx, h, "lang")
 
 
-def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sort_paginate(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """O2+O6: sortKeys + start/stop pagination — page [10:20) of docs
     sorted by n_chars desc, doc_id asc."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     h = scored_hits_df(idx, Q.matchall()).join(
         idx.forward.select("doc_id", "n_chars"), "doc_id"
     )
@@ -179,10 +205,10 @@ def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_by_lang(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """C5 DeDupFilterSuperCollector: best doc per dedup key (highest
     n_chars, doc_id tiebreak) + duplicateCount per group."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     h = hits(idx, Q.term("text", "group")).join(
         idx.forward.select("doc_id", "lang", "n_chars"), "doc_id"
     )
@@ -196,10 +222,10 @@ def q_dedup_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_prefix_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_prefix_search_terms(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """O8 prefixSearch (autocomplete): top terms by docFreq with prefix
     's' (Lucene.java:629-666; client sorts by count _lucene.py:132-143)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return (
         idx.term_stats_for("text")
         .filter(F.col("term").startswith("s"))
@@ -209,10 +235,10 @@ def q_prefix_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_suggest_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_suggest_spellcheck(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """O11 suggest: edit-distance<=2 candidates for 'tabel' ranked by
     docFreq (DirectSpellChecker semantics over the term dict)."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     return (
         idx.term_stats_for("text")
         .withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
@@ -223,11 +249,11 @@ def q_suggest_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_similar_documents(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
     """O12 similarDocuments (MLT): query doc's terms with
     df <= 0.1*N (CommonTermsQuery maxFreq 0.1, Lucene.java:818-846),
     OR over other docs, ranked by count of shared rare terms."""
-    idx = get_index(spark, sf_dir)
+    idx = get_idx(spark, sf_dir)
     n = idx.n_docs
     seed_terms = (
         idx.postings_for("text")
@@ -488,14 +514,38 @@ def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+_ANN_INDEX_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized LSH bucket index per sf_dir (built once, probed by
+    partition-pruned lookups — the 100 TB probe path)."""
+    key = (id(spark), sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.extras.ann import write_lsh_index
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="mls_lsh_")
+        write_lsh_index(emb, path)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
 def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-10 (rows-only; recall vs the
-    exact path is asserted in pytest)."""
-    from meresco_lucene_spark.extras.ann import lsh_cosine_topk
+    """LSH approximate cosine top-10 over the write-time-materialized
+    bucket index: probe = partition-pruned id lookups + broadcast
+    semi-join vector fetch (rows-only; candidate-identity with the
+    on-the-fly path and recall vs exact are asserted in pytest)."""
+    from meresco_lucene_spark.extras.ann import lsh_index_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    out = lsh_cosine_topk(emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=10)
+    path = _ann_index_path(spark, sf_dir)
+    out = lsh_index_topk(
+        spark, path, emb.filter(F.col("vec_id") != 0), qvec, k=10
+    )
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
@@ -594,6 +644,33 @@ QUERIES = {
     "suggest_spellcheck": q_suggest_spellcheck,
     "similar_documents": q_similar_documents,
 }
+
+# seg_* entries: the SAME queries served from the persistent on-disk
+# segment store (index/store.py) instead of the session DataFrame index —
+# built once per sf_dir, REOPENED from disk per query, zero
+# re-tokenization. Oracle SQL is identical (same results contract).
+import functools as _functools  # noqa: E402
+
+_SEG_BASE = {
+    "seg_term_bm25_top10": q_term_bm25_top10,
+    "seg_bool_must_top10": q_bool_must_top10,
+    "seg_bool_should_top10": q_bool_should_top10,
+    "seg_bool_must_not": q_bool_must_not,
+    "seg_bool_filter_top10": q_bool_filter_top10,
+    "seg_phrase_match": q_phrase_match,
+    "seg_prefix_docs": q_prefix_docs,
+    "seg_range_numeric": q_range_numeric,
+    "seg_facet_lang": q_facet_lang,
+    "seg_dedup_by_lang": q_dedup_by_lang,
+    "seg_sort_paginate": q_sort_paginate,
+    "seg_similar_documents": q_similar_documents,
+}
+QUERIES.update(
+    {
+        name: _functools.partial(fn, get_idx=get_persistent_index)
+        for name, fn in _SEG_BASE.items()
+    }
+)
 
 
 # -------------------------------------------------------------- oracle SQL
@@ -902,3 +979,8 @@ GROUP BY tf.doc_id
 ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
 """,
 }
+
+# seg_* entries share the base oracles: the persistent-store path must
+# produce byte-identical results to the DataFrame path.
+for _seg_name in _SEG_BASE:
+    ORACLES[_seg_name] = ORACLES[_seg_name[len("seg_"):]]

@@ -1,0 +1,443 @@
+"""Persistent multi-field index store: the FULL query surface from disk.
+
+Round-1's segment store (segments.py) served only single/OR/AND term
+top-k; phrase, boolean NOT/FILTER, facets, sort, dedup and composed
+queries ran on the session-cached DataFrame index, rebuilt from raw text
+every session. At 100 TB you cannot re-tokenize per session — this
+module makes the on-disk store the one queried, reproducing the
+reference's durable commit -> search contract (Lucene.java:920-945,
+refresh :899-907): build once, reopen in any session, query everything.
+
+Layout under ``out_dir``:
+  forward/        the input rows (doc_id + stored/sortable/facet columns)
+  field_lengths/  (field, doc_id, dl, norm_dl)
+  term_stats/     (field, term, df, cf, base_shard, n_salts)
+  postings/       partitioned by shard:
+                  (field, term, block_id, doc_count, min_doc, max_doc,
+                   block_max_score, doc_bytes, tf_bytes, dl_bytes,
+                   pos_bytes)
+  meta.json       {n_docs, field_stats, facet_fields, k1, b, similarity,
+                   quantized, has_positions, n_shards, ...}
+
+Block format = segments.py's delta+varint blocks (codec.py) extended
+with a POSITIONS stream: per posting, the sorted position list is
+delta-encoded (first absolute per posting); posting lengths come from
+the tf stream, so no extra length stream is needed.
+
+The decisive design point is how :class:`PersistentIndex` exposes the
+blocks: ``postings_for(field)`` returns a LAZILY-DECODED DataFrame where
+the block decode is a *projection* (Arrow-batched pandas UDF in a
+select) followed by a JVM-side ``arrays_zip``+``explode`` — NOT an
+opaque mapInPandas. Catalyst pushes filters that reference only
+pass-through columns (``term``, ``field``) below the projection and the
+Generate, all the way into the parquet scan (PushedFilters on term —
+verified in tests). A TermQuery therefore reads only the blocks of its
+term (row-group pruned; blocks are term-sorted within each shard file),
+decodes those, and nothing else — while query/executor.py runs
+completely unchanged on top.
+
+Sharding & skew: identical story to segments.py — ``base_shard =
+xxhash64(field, term) % n_shards`` with hot terms (df >= hot_df_fraction
+* N) salted across ``salt_buckets`` consecutive shards so no single
+encode task swallows a hot posting list. The query side never needs the
+shard: term filters prune via parquet statistics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.index.builder import FieldStats, InvertedIndex
+from meresco_lucene_spark.index.codec import (
+    decode_doc_block,
+    varint_decode,
+    varint_encode,
+    varint_sizes,
+)
+from meresco_lucene_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, bm25_score_numpy
+
+STORE_POSTINGS_SCHEMA = (
+    "shard int, field string, term string, block_id int, doc_count int, "
+    "min_doc long, max_doc long, block_max_score double, doc_bytes binary, "
+    "tf_bytes binary, dl_bytes binary, pos_bytes binary"
+)
+
+
+# ------------------------------------------------------------ positions codec
+
+
+def encode_positions(pos_lists: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Delta-encode concatenated position lists (first position of each
+    posting absolute, rest in-posting deltas) -> (varint bytes, per-value
+    byte sizes). pos_lists: object array of int sequences."""
+    n = len(pos_lists)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[1:] = flat[1:] - flat[:-1]
+    nz_starts = starts[:-1][lens > 0]
+    deltas[nz_starts] = flat[nz_starts]
+    return varint_encode(deltas), varint_sizes(deltas)
+
+
+def decode_positions(pos_bytes: bytes, lens: np.ndarray) -> list:
+    """Inverse of encode_positions: split the delta stream by per-posting
+    lengths (the tf values) and rebuild absolute positions with one
+    segmented cumsum."""
+    n = len(lens)
+    if n == 0 or pos_bytes is None:
+        return []
+    deltas = varint_decode(pos_bytes).astype(np.int64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.asarray(lens, dtype=np.int64), out=starts[1:])
+    c = np.cumsum(deltas)
+    row_off = np.where(starts[:-1] > 0, c[np.maximum(starts[:-1] - 1, 0)], 0)
+    abs_pos = c - np.repeat(row_off, np.asarray(lens, dtype=np.int64))
+    return [a.astype(np.int32).tolist() for a in np.split(abs_pos, starts[1:-1])]
+
+
+# -------------------------------------------------------------------- build
+
+
+def build_index_store(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_cols: list[str] | None = None,
+    keyword_cols: list[str] | None = None,
+    array_cols: list[str] | None = None,
+    dutch_cols: list[str] | None = None,
+    facet_fields: dict[str, list[str]] | None = None,
+    similarity: str = "BM25",
+    quantized: bool = False,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    n_shards: int = 32,
+    salt_buckets: int = 8,
+    block_size: int = 128,
+    hot_df_fraction: float = 0.05,
+) -> "PersistentIndex":
+    """Build the persistent store: one tokenize pass (via
+    InvertedIndex.build's lazy frames), four parquet tables, one salted
+    shard shuffle for the block encode. One build = one commit = one
+    durable, fully queryable snapshot."""
+    spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    idx = InvertedIndex.build(
+        df,
+        id_col=id_col,
+        text_cols=text_cols,
+        keyword_cols=keyword_cols,
+        array_cols=array_cols,
+        dutch_cols=dutch_cols,
+        positions=True,
+        k1=k1,
+        b=b,
+        cache=True,
+        facet_fields=facet_fields,
+        similarity=similarity,
+        quantized=quantized,
+    )
+    try:
+        idx.forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
+        idx.field_lengths.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "field_lengths")
+        )
+        hot_threshold = max(int(hot_df_fraction * idx.n_docs), 1)
+        tstats = (
+            idx.term_stats.withColumn(
+                "base_shard",
+                F.pmod(F.xxhash64(F.col("field"), F.col("term")), F.lit(n_shards)).cast(
+                    "int"
+                ),
+            )
+            .withColumn(
+                "n_salts",
+                F.when(F.col("df") >= hot_threshold, F.lit(salt_buckets))
+                .otherwise(F.lit(1))
+                .cast("int"),
+            )
+        )
+        tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        tstats_df = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+
+        dl_col = "norm_dl" if quantized else "dl"
+        flat = (
+            idx.postings.join(
+                tstats_df.select("field", "term", "df", "base_shard", "n_salts"),
+                ["field", "term"],
+            )
+            .withColumn(
+                "shard",
+                (
+                    (F.col("base_shard") + F.pmod(F.col("doc_id"), F.col("n_salts")))
+                    % n_shards
+                ).cast("int"),
+            )
+            .join(
+                idx.field_lengths.select(
+                    "field", "doc_id", F.col(dl_col).alias("_dl")
+                ),
+                ["field", "doc_id"],
+            )
+        )
+
+        field_params = {
+            f: (st.n_docs, st.avgdl) for f, st in idx.stats.items()
+        }
+
+        def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # Whole-shard numpy passes (same shape as segments.py:_encode):
+            # block boundaries, delta gaps, scores and the FOUR varint
+            # streams (doc/tf/dl/pos) computed vectorized; per-block
+            # Python is only the final byte-slice.
+            shard = int(key[0])
+            cols = [
+                "shard", "field", "term", "block_id", "doc_count", "min_doc",
+                "max_doc", "block_max_score", "doc_bytes", "tf_bytes",
+                "dl_bytes", "pos_bytes",
+            ]
+            n = len(pdf)
+            if n == 0:
+                return pd.DataFrame(columns=cols)
+            order = np.lexsort(
+                (
+                    pdf["doc_id"].to_numpy(),
+                    pdf["term"].to_numpy(dtype=object),
+                    pdf["field"].to_numpy(dtype=object),
+                )
+            )
+            fields = pdf["field"].to_numpy(dtype=object)[order]
+            terms = pdf["term"].to_numpy(dtype=object)[order]
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+            dls = pdf["_dl"].to_numpy(dtype=np.int64)[order]
+            dfs = pdf["df"].to_numpy(dtype=np.float64)[order]
+            pos_lists = pdf["positions"].to_numpy(dtype=object)[order]
+
+            run_start = np.empty(n, dtype=bool)
+            run_start[0] = True
+            run_start[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+            run_ids = np.cumsum(run_start) - 1
+            run_starts_idx = np.flatnonzero(run_start)
+            pos_in_run = np.arange(n) - run_starts_idx[run_ids]
+            block_start = run_start | (pos_in_run % block_size == 0)
+            block_starts = np.flatnonzero(block_start)
+            block_ends = np.append(block_starts[1:], n)
+            block_in_run = (pos_in_run // block_size)[block_starts]
+
+            gaps = np.empty(n, dtype=np.int64)
+            gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+            gaps[block_starts] = doc_ids[block_starts]
+
+            # per-field BM25 bound per posting -> block max (used only by
+            # WAND-style pruning; harmless for TermFrequency similarity)
+            scores = np.zeros(n, dtype=np.float64)
+            for f, (f_n, f_avgdl) in field_params.items():
+                m = fields == f
+                if m.any():
+                    scores[m] = bm25_score_numpy(
+                        tfs[m].astype(float), dfs[m], dls[m].astype(float),
+                        f_n, f_avgdl, k1, b,
+                    )
+            block_max = np.maximum.reduceat(scores, block_starts)
+
+            streams = {}
+            for name, vals in (("doc", gaps), ("tf", tfs), ("dl", dls)):
+                buf = memoryview(varint_encode(vals))
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(varint_sizes(vals), out=offs[1:])
+                streams[name] = [
+                    bytes(buf[a:e])
+                    for a, e in zip(offs[block_starts], offs[block_ends])
+                ]
+            # positions: per-value sizes -> per-posting spans -> block spans
+            pos_buf, pos_sizes = encode_positions(pos_lists)
+            plens = np.fromiter(
+                (len(p) if p is not None else 0 for p in pos_lists),
+                dtype=np.int64,
+                count=n,
+            )
+            val_starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(plens, out=val_starts[1:])
+            byte_offs = np.zeros(len(pos_sizes) + 1, dtype=np.int64)
+            np.cumsum(pos_sizes, out=byte_offs[1:])
+            posting_byte_offs = byte_offs[val_starts]
+            pmv = memoryview(pos_buf)
+            streams["pos"] = [
+                bytes(pmv[a:e])
+                for a, e in zip(
+                    posting_byte_offs[block_starts], posting_byte_offs[block_ends]
+                )
+            ]
+
+            return pd.DataFrame(
+                {
+                    "shard": np.full(len(block_starts), shard, dtype=np.int32),
+                    "field": fields[block_starts],
+                    "term": terms[block_starts],
+                    "block_id": block_in_run.astype(np.int32),
+                    "doc_count": (block_ends - block_starts).astype(np.int32),
+                    "min_doc": doc_ids[block_starts],
+                    "max_doc": doc_ids[block_ends - 1],
+                    "block_max_score": block_max,
+                    "doc_bytes": streams["doc"],
+                    "tf_bytes": streams["tf"],
+                    "dl_bytes": streams["dl"],
+                    "pos_bytes": streams["pos"],
+                }
+            )
+
+        encoded = flat.groupBy("shard").applyInPandas(
+            _encode, schema=STORE_POSTINGS_SCHEMA
+        )
+        encoded.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(out_dir, "postings")
+        )
+
+        meta = {
+            "n_docs": idx.n_docs,
+            "field_stats": {
+                f: {"n_docs": st.n_docs, "sum_dl": st.sum_dl,
+                    "omit_norms": st.omit_norms}
+                for f, st in idx.stats.items()
+            },
+            "facet_fields": idx.facet_fields,
+            "k1": k1,
+            "b": b,
+            "similarity": similarity,
+            "quantized": quantized,
+            "has_positions": True,
+            "n_shards": n_shards,
+            "salt_buckets": salt_buckets,
+            "block_size": block_size,
+            "hot_df_fraction": hot_df_fraction,
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    finally:
+        idx.unpersist()
+    return PersistentIndex(spark, out_dir)
+
+
+# --------------------------------------------------------------------- open
+
+
+class PersistentIndex:
+    """Disk-backed index with the exact interface of InvertedIndex
+    (postings_for / lengths_for / term_stats_for / field_stats / forward
+    / facet_fields / similarity / k1 / b / quantized / has_positions),
+    so every operator in query/executor.py, compose/ and suggest runs
+    unchanged over a store LOADED FROM DISK — no re-tokenization, ever
+    (opening touches only parquet + meta.json; asserted in tests)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.meta = meta
+        self.id_col = "doc_id"
+        self.n_docs = meta["n_docs"]
+        self.k1 = meta["k1"]
+        self.b = meta["b"]
+        self.similarity = meta["similarity"]
+        self.quantized = meta["quantized"]
+        self.has_positions = meta["has_positions"]
+        self.facet_fields = {k: list(v) for k, v in meta["facet_fields"].items()}
+        self.stats = {
+            f: FieldStats(**d) for f, d in meta["field_stats"].items()
+        }
+        self.forward = spark.read.parquet(os.path.join(out_dir, "forward"))
+        self.field_lengths = spark.read.parquet(
+            os.path.join(out_dir, "field_lengths")
+        )
+        self.term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        self.blocks = spark.read.parquet(os.path.join(out_dir, "postings"))
+
+    # ------------------------------------------------- InvertedIndex API
+    def field_stats(self, fld: str) -> FieldStats:
+        if fld not in self.stats:
+            return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
+        return self.stats[fld]
+
+    def postings_for(self, fld: str) -> DataFrame:
+        """Lazily-decoded (field, term, doc_id, tf, positions) frame.
+
+        Decode is a projection + JVM explode: term/field filters applied
+        by callers push below it into the parquet scan (PushedFilters),
+        so only the filtered terms' blocks are ever decoded."""
+
+        @F.pandas_udf(
+            "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
+            "positions:array<array<int>>>"
+        )
+        def _decode(
+            doc_b: pd.Series, tf_b: pd.Series, pos_b: pd.Series
+        ) -> pd.DataFrame:
+            docs_out, tfs_out, pos_out = [], [], []
+            for db, tb, pb in zip(doc_b, tf_b, pos_b):
+                doc_ids, tfs = decode_doc_block(db, tb)
+                docs_out.append(doc_ids.astype(np.int64).tolist())
+                tfs_out.append(tfs.astype(np.int64).tolist())
+                pos_out.append(decode_positions(pb, tfs))
+            return pd.DataFrame(
+                {"doc_ids": docs_out, "tfs": tfs_out, "positions": pos_out}
+            )
+
+        blocks = self.blocks.filter(F.col("field") == fld)
+        decoded = blocks.select(
+            "term",
+            _decode(
+                F.col("doc_bytes"), F.col("tf_bytes"), F.col("pos_bytes")
+            ).alias("_d"),
+        )
+        return decoded.select(
+            F.lit(fld).alias("field"),
+            "term",
+            F.explode(
+                F.arrays_zip(
+                    F.col("_d.doc_ids").alias("doc_id"),
+                    F.col("_d.tfs").alias("tf"),
+                    F.col("_d.positions").alias("positions"),
+                )
+            ).alias("_p"),
+        ).select(
+            "field",
+            "term",
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_p.tf").alias("tf"),
+            F.col("_p.positions").alias("positions"),
+        )
+
+    def lengths_for(self, fld: str) -> DataFrame:
+        return self.field_lengths.filter(F.col("field") == fld).select(
+            "doc_id", "dl", "norm_dl"
+        )
+
+    def term_stats_for(self, fld: str) -> DataFrame:
+        return self.term_stats.filter(F.col("field") == fld).select(
+            "term", "df", "cf"
+        )
+
+    def num_docs(self) -> int:
+        return self.n_docs
+
+    def fieldnames(self) -> list[str]:
+        return sorted(self.stats)
+
+    def unpersist(self) -> None:  # interface parity; nothing cached
+        pass

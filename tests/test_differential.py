@@ -102,19 +102,28 @@ def _random_query(rng, depth=0):
 
 
 @pytest.fixture(scope="module")
-def diff_idx(spark):
+def diff_idx(spark, tmp_path_factory):
+    """Both execution paths under test: the session DataFrame index AND
+    the persistent store reopened from disk — each random query must be
+    score-identical to the pure-Python evaluator on BOTH."""
+    from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+
     docs = _corpus()
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
-    ix = InvertedIndex.build(
-        spark.createDataFrame(pdf), id_col="doc_id", text_cols=["text"]
-    )
-    yield ix, PyIndex(docs)
+    df = spark.createDataFrame(pdf)
+    ix = InvertedIndex.build(df, id_col="doc_id", text_cols=["text"])
+    out = str(tmp_path_factory.mktemp("diffstore") / "idx")
+    build_index_store(df, out, id_col="doc_id", text_cols=["text"], n_shards=4)
+    disk = PersistentIndex(spark, out)
+    yield {"mem": ix, "disk": disk}, PyIndex(docs)
     ix.unpersist()
 
 
+@pytest.mark.parametrize("path", ["mem", "disk"])
 @pytest.mark.parametrize("seed", range(12))
-def test_random_boolean_queries(diff_idx, seed):
-    ix, py = diff_idx
+def test_random_boolean_queries(diff_idx, seed, path):
+    indexes, py = diff_idx
+    ix = indexes[path]
     rng = random.Random(1000 + seed)
     q = _random_query(rng)
     got = {r["doc_id"]: r["score"] for r in hits(ix, q).collect()}

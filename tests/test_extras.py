@@ -149,6 +149,35 @@ def test_ann_lsh_recall(emb):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ann_materialized_index_matches_on_the_fly(spark, emb, tmp_path):
+    """The write-time bucket index must be candidate-identical to the
+    on-the-fly OR-filter path (same planes/seed), and its probe scan must
+    be partition-pruned — no full scan of the index."""
+    import io
+    from contextlib import redirect_stdout
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh_idx")
+    ann.write_lsh_index(emb, path)
+
+    a = [(r["vec_id"], round(r["cosine"], 6))
+         for r in ann.lsh_index_topk(spark, path, rest, qvec, 10).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 6))
+         for r in ann.lsh_cosine_topk(rest, "embedding", qvec, 10).collect()]
+    assert a == b
+
+    cand = ann.lsh_index_candidates(spark, path, qvec)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    # probe condition references only partition columns -> partition pruning
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "table" in pf_line and "bucket" in pf_line
+
+
 def test_ann_exact_self_similarity(emb):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     top = ann.cosine_topk(emb, "embedding", qvec, 1).collect()

@@ -1,0 +1,187 @@
+"""Persistent index store: the full query surface served from disk.
+
+Parity contract: every operator of query/executor.py must produce
+IDENTICAL results over a PersistentIndex reopened from disk as over the
+session InvertedIndex — term/bool/phrase/prefix/range/facets/sort/dedup
+— with zero re-tokenization on reopen (the reference's durable
+commit -> search contract, Lucene.java:920-945, :899-907)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.index import store as store_mod
+from meresco_lucene_spark.index.builder import InvertedIndex
+from meresco_lucene_spark.index.store import (
+    PersistentIndex,
+    build_index_store,
+    decode_positions,
+    encode_positions,
+)
+from meresco_lucene_spark.query.executor import facet_counts_df, hits, search
+from meresco_lucene_spark.query.ir import FILTER, MUST, MUST_NOT, SHOULD, Q
+
+DOCS = [
+    (0, "spark fast spark join", "py", 3),
+    (1, "slow join table", "py", 1),
+    (2, "spark table scan scan scan", "java", 5),
+    (3, "join the fast table", "go", None),
+    (4, "unique_term spark", "py", 2),
+    (5, "fast fast fast join spark", None, 4),
+]
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("store") / "idx")
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text", "lang", "stars"])
+    df = spark.createDataFrame(pdf)
+    kwargs = dict(
+        id_col="doc_id",
+        text_cols=["text"],
+        keyword_cols=["lang"],
+        facet_fields={"lang": ["lang"]},
+    )
+    build_index_store(df, out, n_shards=4, **kwargs)
+    mem = InvertedIndex.build(df, **kwargs)
+    disk = PersistentIndex(spark, out)  # REOPEN: fresh handle, disk only
+    yield mem, disk
+    mem.unpersist()
+
+
+def _hits(ix, q):
+    return {r["doc_id"]: round(r["score"], 9) for r in hits(ix, q).collect()}
+
+
+def test_positions_codec_roundtrip():
+    import numpy as np
+
+    lists = [[0, 2, 5], [7], [], [1, 1000, 1001], [3]]
+    buf, sizes = encode_positions(np.array(lists, dtype=object))
+    lens = np.array([len(p) for p in lists])
+    got = decode_positions(buf, lens)
+    assert got == [list(p) for p in lists]
+
+
+def test_postings_identical_to_dataframe_index(stores):
+    mem, disk = stores
+    a = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in mem.postings_for("text").collect()
+    }
+    b = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in disk.postings_for("text").collect()
+    }
+    assert a == b
+    assert {r["doc_id"]: r["dl"] for r in disk.lengths_for("text").collect()} == {
+        r["doc_id"]: r["dl"] for r in mem.lengths_for("text").collect()
+    }
+    assert sorted(
+        map(tuple, disk.term_stats_for("text").collect())
+    ) == sorted(map(tuple, mem.term_stats_for("text").collect()))
+
+
+QUERIES = [
+    Q.term("text", "spark"),
+    Q.term("text", "spark", boost=2.5),
+    Q.and_(Q.term("text", "spark"), Q.term("text", "join")),
+    Q.or_(Q.term("text", "scan"), Q.term("text", "unique_term")),
+    Q.not_(Q.term("text", "join"), Q.term("text", "slow")),
+    Q.boolean((MUST, Q.term("text", "spark")), (FILTER, Q.term("lang", "py"))),
+    Q.boolean((SHOULD, Q.term("text", "fast")), (MUST_NOT, Q.term("text", "scan"))),
+    Q.phrase("text", "fast", "table"),
+    Q.phrase("text", "spark", "fast", "spark"),
+    Q.prefix("text", "sca"),
+    Q.range("stars", lower=2, upper=5, include_lower=True, include_upper=False),
+    Q.matchall(),
+    Q.drilldown("lang", ["py"]),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_query_surface_parity(stores, qi):
+    mem, disk = stores
+    q = QUERIES[qi]
+    assert _hits(disk, q) == _hits(mem, q), f"mismatch for {q.to_dict()}"
+
+
+def test_search_facets_sort_dedup_from_disk(stores):
+    mem, disk = stores
+    kw = dict(
+        query=Q.term("text", "join"),
+        facets=[{"fieldname": "lang", "maxTerms": 10}],
+        dedup_field="lang",
+        stored_fields=["lang", "stars"],
+        sort_keys=[{"sortBy": "score", "sortDescending": True}],
+    )
+    ra, rb = search(mem, **kw), search(disk, **kw)
+    assert rb.total == ra.total
+    assert rb.totalWithDuplicates == ra.totalWithDuplicates
+    assert rb.drilldownData == ra.drilldownData
+    assert [(h.id, round(h.score, 9), h.fields) for h in rb.hits] == [
+        (h.id, round(h.score, 9), h.fields) for h in ra.hits
+    ]
+    fa = facet_counts_df(mem, hits(mem, Q.matchall()), "lang").collect()
+    fb = facet_counts_df(disk, hits(disk, Q.matchall()), "lang").collect()
+    assert [tuple(r) for r in fa] == [tuple(r) for r in fb]
+
+
+def test_term_filter_pushed_to_parquet_scan(stores):
+    """The decode is a projection: a term equality above it must reach
+    the parquet scan as a PushedFilter — only the query term's blocks
+    are read and decoded."""
+    _, disk = stores
+    p = disk.postings_for("text").filter(F.col("term") == "spark")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        p.explain(True)
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and "spark" in ln for ln in pushed), pushed
+
+
+def test_reopen_zero_retokenization(spark, stores, monkeypatch):
+    """Opening + querying a store must never tokenize: poison the
+    tokenizer module and run a full search from a fresh handle."""
+    _, disk = stores
+
+    def _boom(*a, **k):
+        raise AssertionError("tokenizer invoked on reopened store")
+
+    from meresco_lucene_spark.analysis import tokenizer
+
+    monkeypatch.setattr(tokenizer, "tokenize_expr", _boom)
+    monkeypatch.setattr(tokenizer, "tokenize_udf", _boom)
+    fresh = PersistentIndex(spark, disk.out_dir)
+    r = search(fresh, Q.term("text", "spark"), stop=3)
+    assert r.total == 4 and len(r.hits) == 3
+
+
+def test_hot_term_salting_splits_blocks(spark, tmp_path):
+    """A term over the hot-df threshold spreads across salt_buckets
+    shards; postings still decode identically."""
+    n = 60
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "text": ["common filler" if i % 2 else "common alone" for i in range(n)]}
+    )
+    out = str(tmp_path / "hot")
+    build_index_store(
+        spark.createDataFrame(pdf), out, text_cols=["text"],
+        n_shards=8, salt_buckets=4, hot_df_fraction=0.5, block_size=8,
+    )
+    disk = PersistentIndex(spark, out)
+    shards = {
+        r["shard"]
+        for r in disk.blocks.filter(F.col("term") == "common").select("shard").collect()
+    }
+    assert len(shards) == 4  # salted across salt_buckets shards
+    got = {
+        r["doc_id"]: r["tf"]
+        for r in disk.postings_for("text").filter(F.col("term") == "common").collect()
+    }
+    assert got == {i: 1 for i in range(n)}
