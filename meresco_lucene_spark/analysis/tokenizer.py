@@ -103,16 +103,22 @@ def tokenize_expr(col: Column | str) -> Column:
 
 
 def shingles(tokens: list[str], min_size: int = 2, max_size: int = 4) -> list[str]:
-    """Word shingles min..max joined by single spaces.
+    """Word shingles min..max joined by single spaces, POSITION-MAJOR:
+    at each token position emit the unigram (Lucene's ShingleFilter keeps
+    them by default) then the 2..max_size-grams starting there.
 
-    Contract of the reference's ShingleAnalyzer (suggestion/ShingleAnalyzer.java:46-51):
-    emit every contiguous word n-gram for n in [min_size, max_size]
-    (plus the unigrams, which Lucene's ShingleFilter keeps by default)."""
-    out = list(tokens) if min_size <= 1 else []
+    Contract of the reference's ShingleAnalyzer
+    (suggestion/ShingleAnalyzer.java:46-51); order golden from
+    SuggestionIndexTest.java:158-159: shingles('lord of the rings', 2, 4)
+    = [lord, lord of, lord of the, lord of the rings, of, of the,
+       of the rings, the, the rings, rings]."""
+    out: list[str] = []
     lo = max(min_size, 2)
-    for n in range(lo, max_size + 1):
-        for i in range(len(tokens) - n + 1):
-            out.append(" ".join(tokens[i : i + n]))
+    for i in range(len(tokens)):
+        out.append(tokens[i])
+        for n in range(lo, max_size + 1):
+            if i + n <= len(tokens):
+                out.append(" ".join(tokens[i : i + n]))
     return out
 
 

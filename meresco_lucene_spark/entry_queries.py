@@ -274,6 +274,36 @@ def q_similar_documents(spark: SparkSession, sf_dir: str, get_idx=get_index) -> 
     )
 
 
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic synthetic lat/lon derived from doc_id
+    (pure integer arithmetic — bit-identical in Spark and DuckDB)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        (F.pmod(F.col("doc_id") * 37, F.lit(140)) - 70 + F.lit(0.25)).alias(
+            "geo_lat"
+        ),
+        (F.pmod(F.col("doc_id") * 91, F.lit(360)) - 180 + F.lit(0.5)).alias(
+            "geo_lon"
+        ),
+    )
+
+
+def q_distance_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 DistanceQuery (LatLonPoint.newDistanceQuery semantics,
+    JsonQueryConverter.java:333-339): docs whose point lies within
+    2500 km of (10.25, 20.5); haversine on the mean earth radius,
+    constant score. Coordinates synthesized from doc_id."""
+    from meresco_lucene_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    idx = InvertedIndex.build(
+        _geo_docs(spark, sf_dir), id_col="doc_id", keyword_cols=["lang"], cache=False
+    )
+    q = Q.distance("geo", 10.25, 20.5, 2_500_000.0)
+    return hits(idx, q).select("doc_id").orderBy("doc_id")
+
+
 # --------------------------------------------- composed (multi-core) queries
 #
 # The reference's multi-core key-join algebra (SURVEY §2.5, MultiLucene.java)
@@ -643,6 +673,7 @@ QUERIES = {
     "prefix_search_terms": q_prefix_search_terms,
     "suggest_spellcheck": q_suggest_spellcheck,
     "similar_documents": q_similar_documents,
+    "distance_within": q_distance_within,
 }
 
 # seg_* entries: the SAME queries served from the persistent on-disk
@@ -866,6 +897,21 @@ SELECT doc_id,
     generate_series(1, greatest(len({_TOKS}) - 3, 0)),
     i -> md5(array_to_string(({_TOKS})[i:i+3], ' ')))), '') AS fingerprint
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+    "distance_within": """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 140) - 70 + 0.25 AS lat,
+         ((doc_id * 91) % 360) - 180 + 0.5 AS lon
+  FROM documents
+)
+SELECT doc_id FROM pts
+WHERE 2 * 6371008.7714 * asin(sqrt(
+        sin(radians(10.25 - lat) / 2) * sin(radians(10.25 - lat) / 2)
+        + cos(radians(lat)) * cos(radians(10.25))
+          * sin(radians(20.5 - lon) / 2) * sin(radians(20.5 - lon) / 2)
+      )) <= 2500000
+ORDER BY doc_id
 """,
     "term_bm25_top10": _bm25_topk_sql("term = 'spark'"),
     "bool_must_top10": ORACLE_PRELUDE

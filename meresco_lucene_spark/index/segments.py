@@ -170,58 +170,157 @@ class SegmentIndex:
         )
         return grouped.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def blocks_for_terms(self, terms: list[str]) -> DataFrame:
+        """All blocks of a term set in ONE frame: shard+term predicates
+        from term_stats (one small collect), pushed to the parquet scan."""
+        rows = (
+            self.term_stats.filter(F.col("term").isin(terms))
+            .select("term", "base_shard", "n_salts")
+            .collect()
+        )
+        if not rows:
+            return self.postings.filter(F.lit(False))
+        n = self.meta["n_shards"]
+        shards = sorted(
+            {(r["base_shard"] + s) % n for r in rows for s in range(r["n_salts"])}
+        )
+        present = [r["term"] for r in rows]
+        return self.postings.filter(
+            F.col("shard").isin(shards) & F.col("term").isin(present)
+        )
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {
+            r["term"]: int(r["df"])
+            for r in self.term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        }
+
+    def _scores_for_terms(self, terms: list[str], dfs: dict[str, int]) -> DataFrame:
+        """Exact (doc_id, score) for every posting of a term set — one
+        mapInPandas over the combined block frame (per-term df looked up
+        from the broadcast-small dfs dict inside the closure)."""
+        meta = self.meta
+        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
+
+        def _score(it):
+            for pdf in it:
+                for _, row in pdf.iterrows():
+                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
+                    dls = varint_decode(row["dl_bytes"]).astype(float)
+                    scores = bm25_score_numpy(
+                        tfs.astype(float), float(dfs[row["term"]]), dls,
+                        n, avgdl, k1, b,
+                    )
+                    yield pd.DataFrame(
+                        {"doc_id": doc_ids.astype("int64"), "score": scores}
+                    )
+
+        return self.blocks_for_terms(terms).mapInPandas(
+            _score, schema="doc_id long, score double"
+        )
+
     def or_topk(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact disjunctive (SHOULD) BM25 top-k with block-max pruning.
 
         Distributed block-max WAND adaptation: postings of different
         terms live in different shards, so document-at-a-time pointer
         walks don't apply; instead
-          1. θ = k-th best single-term score over the per-term WAND
-             top-k's (every single-term score lower-bounds that doc's
-             total, so θ lower-bounds the true k-th total);
-          2. a block survives iff block_max + Σ_{other terms} term_max
-             >= θ — any doc whose blocks are all pruned has total < θ,
-             so candidates ⊇ the true top-k (proof in test);
-          3. candidates are re-scored EXACTLY over all their postings
-             (semi-join), then global top-k.
+          1. ONE job runs the per-term WAND top-k for all terms at once
+             (groupBy(term).applyInPandas) and returns each term's exact
+             max score alongside;
+          2. θ = k-th largest PER-DOC SUM of the collected single-term
+             scores. Each collected score is exact, and a doc's sum over
+             the terms present in its pool entries lower-bounds its true
+             total (missing terms only add), so θ lower-bounds the true
+             k-th total. Summing per doc both tightens θ and removes the
+             old pooled-k-th bug where one doc appearing in several
+             term pools made θ exceed the true k-th total;
+          3. a block of term t survives iff block_max + Σ_{u≠t}
+             term_max[u] >= θ — any doc all of whose blocks are pruned
+             has total < θ, so candidates ⊇ the true top-k;
+          4. candidates are re-scored EXACTLY over all their postings
+             (semi-join on the combined block frame), then global top-k.
+
+        Job count is O(1) in the number of terms (stats collect, pooled
+        WAND collect, final candidates+rescore query) — the previous
+        shape launched two driver jobs per term.
         """
         terms = list(dict.fromkeys(terms))
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if len(terms) == 1:
             return self.term_topk(terms[0], k)
+        dfs = self._term_dfs(terms)
+        terms = [t for t in terms if t in dfs]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if len(terms) == 1:
+            return self.term_topk(terms[0], k)
 
-        # per-term exact max (tight: max of block maxes) + θ from the
-        # single-term top-k's
-        term_max: dict[str, float] = {}
-        theta_scores: list[float] = []
-        for t in terms:
-            blocks = self.blocks_for_term(t)
-            row = blocks.agg(F.max("block_max_score").alias("m")).collect()[0]
-            term_max[t] = float(row["m"]) if row["m"] is not None else 0.0
-            theta_scores.extend(
-                r["score"] for r in self.term_topk(t, k).collect()
+        meta = self.meta
+        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
+        blocks = self.blocks_for_terms(terms)
+
+        def _pool(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            term = key[0]
+            df_t = float(dfs[term])
+            pdf = pdf.sort_values("block_max_score", ascending=False)
+            tmax = float(pdf["block_max_score"].iloc[0]) if len(pdf) else 0.0
+            best: list[tuple[float, int]] = []
+            threshold = -np.inf
+            for _, row in pdf.iterrows():
+                if len(best) >= k and row["block_max_score"] < threshold:
+                    break
+                doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
+                dls = varint_decode(row["dl_bytes"]).astype(float)
+                scores = bm25_score_numpy(
+                    tfs.astype(float), df_t, dls, n, avgdl, k1, b
+                )
+                for s, d in zip(scores, doc_ids):
+                    best.append((float(s), int(d)))
+                best.sort(key=lambda x: (-x[0], x[1]))
+                best = best[:k]
+                if len(best) >= k:
+                    threshold = best[-1][0]
+            return pd.DataFrame(
+                {
+                    "term": term,
+                    "doc_id": [d for _, d in best],
+                    "score": [s for s, _ in best],
+                    "term_max": tmax,
+                }
             )
-        theta_scores.sort(reverse=True)
-        theta = theta_scores[k - 1] if len(theta_scores) >= k else -float("inf")
+
+        pooled = blocks.groupBy("term").applyInPandas(
+            _pool, schema="term string, doc_id long, score double, term_max double"
+        ).collect()
+
+        term_max = {t: 0.0 for t in terms}
+        per_doc: dict[int, float] = {}
+        for r in pooled:
+            term_max[r["term"]] = max(term_max[r["term"]], r["term_max"])
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + r["score"]
+        doc_sums = sorted(per_doc.values(), reverse=True)
+        theta = doc_sums[k - 1] if len(doc_sums) >= k else -float("inf")
         total_max = sum(term_max.values())
 
-        cand_parts = []
+        # survival bound per term, applied to the ONE combined block frame
+        surv = None
         for t in terms:
             bound_others = total_max - term_max[t]
-            blocks = self.blocks_for_term(t).filter(
+            c = (F.col("term") == t) & (
                 F.col("block_max_score") + F.lit(bound_others) >= F.lit(theta)
             )
-            cand_parts.append(self._decode_blocks(blocks).select("doc_id"))
-        candidates = cand_parts[0]
-        for p in cand_parts[1:]:
-            candidates = candidates.unionByName(p)
-        candidates = candidates.distinct()
+            surv = c if surv is None else (surv | c)
+        candidates = (
+            self._decode_blocks(blocks.filter(surv)).select("doc_id").distinct()
+        )
 
-        scored = None
-        for t in terms:
-            part = self.term_scores(t).join(candidates, "doc_id", "left_semi")
-            scored = part if scored is None else scored.unionByName(part)
+        scored = self._scores_for_terms(terms, dfs).join(
+            candidates, "doc_id", "left_semi"
+        )
         return (
             scored.groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
@@ -252,10 +351,9 @@ class SegmentIndex:
                 "doc_id",
                 "left_semi",
             )
-        scored = None
-        for t in terms:
-            part = self.term_scores(t).join(candidates, "doc_id", "left_semi")
-            scored = part if scored is None else scored.unionByName(part)
+        scored = self._scores_for_terms(terms, {t: int(d) for t, d in dfs.items()}).join(
+            candidates, "doc_id", "left_semi"
+        )
         return (
             scored.groupBy("doc_id")
             .agg(F.sum("score").alias("score"))

@@ -117,6 +117,57 @@ def pagerank_bipartite(
 
 
 @dataclass
+class ClusterField:
+    """(fieldname, weight, filterValue) — reference ClusterField.java:37-87."""
+
+    fieldname: str
+    weight: float
+    filter_value: str | None = None
+
+
+@dataclass
+class ClusterStrategy:
+    """One DBSCAN strategy over a weighted multi-field term vector
+    (reference ClusterStrategy.java:34-92)."""
+
+    clustering_eps: float
+    clustering_min_points: int
+    fields: list["ClusterField"] = None
+
+    def __post_init__(self):
+        if self.fields is None:
+            self.fields = []
+
+    def add_field(
+        self, fieldname: str, weight: float, filter_value: str | None = None
+    ) -> "ClusterStrategy":
+        # reference drops zero-weight fields (ClusterStrategy.java:47-51)
+        if weight != 0.0:
+            self.fields.append(ClusterField(fieldname, weight, filter_value))
+        return self
+
+    @property
+    def n_filters(self) -> int:
+        return sum(1 for f in self.fields if f.filter_value is not None)
+
+
+@dataclass
+class ClusterConfig:
+    """clusterMoreRecords + strategy list (reference ClusterConfig.java:37-87)."""
+
+    cluster_more_records: int = 0
+    strategies: list["ClusterStrategy"] = None
+
+    def __post_init__(self):
+        if self.strategies is None:
+            self.strategies = []
+
+    def add_strategy(self, strategy: ClusterStrategy) -> "ClusterConfig":
+        self.strategies.append(strategy)
+        return self
+
+
+@dataclass
 class DocScore:
     doc_id: int
     score: float
@@ -132,6 +183,135 @@ class TermScore:
 class MerescoCluster:
     topDocs: list[DocScore]
     topTerms: list[TermScore]
+
+
+def cluster_top_docs_strategies(
+    index: InvertedIndex,
+    hits_df: DataFrame,
+    config: ClusterConfig,
+    stop: int = 10,
+    total_hits: int | None = None,
+) -> list[MerescoCluster]:
+    """Multi-strategy, multi-field clustering — the full reference
+    semantics (MerescoClusterer.java:52-237):
+
+    - strategies sorted by number of field filters DESC (stable); each
+      doc is collected by the FIRST strategy it matches (:94-97, the
+      comparator at :75-80);
+    - a strategy matches when every filter_value appears among the doc's
+      terms of that field (missing field with a filter => fail,
+      termVector :216-235 FilterConditionFailed);
+    - the doc vector is the reference's combineToSelf chain: the first
+      present field's weight is applied only when a second field joins
+      (createVector :196-214 — single-field vectors stay unscaled);
+    - term ordinals are GLOBAL across fields (one BytesRefHash, :126),
+      so equal terms in different fields share a vector entry;
+    - per-strategy eps is interpolated with the shared
+      cluster_more_records (InterpolateEpsilon.java:30-35), then DBSCAN
+      per strategy; clusters of all strategies are concatenated
+      (finish() :99-106) and each ranked by PageRank.
+
+    Distributed step = ONE postings fetch (union over the strategies'
+    fields, semi-joined to the top slice); everything after operates on
+    the <= stop+cluster_more_records slice driver-side, like the
+    reference."""
+    slice_size = stop + config.cluster_more_records
+    top = (
+        hits_df.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(slice_size)
+        .select("doc_id")
+    )
+    fieldnames = sorted({f.fieldname for s in config.strategies for f in s.fields})
+    if not fieldnames or not config.strategies:
+        return []
+    parts = None
+    for fld in fieldnames:
+        p = (
+            index.postings_for(fld)
+            .join(top, "doc_id", "left_semi")
+            .select("field", "term", "doc_id", "tf")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    rows = parts.collect()
+    if not rows:
+        return []
+    top_ids = [r["doc_id"] for r in top.collect()]
+
+    # global term ordinal space (term string only, shared across fields)
+    ords: dict[str, int] = {}
+    by_doc_field: dict[tuple[int, str], dict[int, float]] = {}
+    for r in rows:
+        o = ords.setdefault(r["term"], len(ords))
+        by_doc_field.setdefault((r["doc_id"], r["field"]), {})[o] = float(r["tf"])
+    terms_by_ord = [None] * len(ords)
+    for t, o in ords.items():
+        terms_by_ord[o] = t
+    n_terms = len(ords)
+
+    strategies = sorted(
+        config.strategies, key=lambda s: -s.n_filters
+    )  # stable, most filters first
+
+    def _vector_for(doc: int, strat: ClusterStrategy) -> np.ndarray | None:
+        vector = None
+        vector_weight = 1.0
+        for cf in strat.fields:
+            tv = by_doc_field.get((doc, cf.fieldname))
+            if cf.filter_value is not None:
+                fo = ords.get(cf.filter_value)
+                if tv is None or fo is None or fo not in tv:
+                    return None  # FilterConditionFailed
+            if tv is None:
+                continue
+            v = np.zeros(n_terms)
+            for o, tf in tv.items():
+                v[o] = tf
+            if vector is None:
+                vector = v
+                vector_weight = cf.weight
+            else:
+                vector = vector_weight * vector + cf.weight * v
+                vector_weight = 1.0
+        return vector
+
+    assigned: list[list[tuple[int, np.ndarray]]] = [[] for _ in strategies]
+    for doc in top_ids:
+        for si, strat in enumerate(strategies):
+            v = _vector_for(doc, strat)
+            if v is not None:
+                assigned[si].append((doc, v))
+                break
+
+    n_hits = total_hits if total_hits is not None else hits_df.count()
+    out: list[MerescoCluster] = []
+    for si, strat in enumerate(strategies):
+        if not assigned[si]:
+            continue
+        eps = interpolate_epsilon(
+            n_hits, slice_size, strat.clustering_eps, config.cluster_more_records
+        )
+        docs = [d for d, _ in assigned[si]]
+        vectors = np.vstack([v for _, v in assigned[si]])
+        dist = generalized_jaccard_distance_matrix(vectors)
+        for members in dbscan(dist, eps, strat.clustering_min_points):
+            sub = vectors[members]
+            pr_docs, pr_terms = pagerank_bipartite(sub)
+            doc_order = np.argsort(-pr_docs, kind="stable")
+            term_order = np.argsort(-pr_terms, kind="stable")
+            out.append(
+                MerescoCluster(
+                    topDocs=[
+                        DocScore(int(docs[members[i]]), float(pr_docs[i]))
+                        for i in doc_order
+                    ],
+                    topTerms=[
+                        TermScore(terms_by_ord[j], float(pr_terms[j]))
+                        for j in term_order
+                        if pr_terms[j] > 0
+                    ],
+                )
+            )
+    return out
 
 
 def cluster_top_docs(

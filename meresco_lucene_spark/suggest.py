@@ -57,7 +57,12 @@ class SuggestionIndex:
 
 
 def build_suggestion_index(
-    df: DataFrame, value_col: str, key_col: str | None = None
+    df: DataFrame,
+    value_col: str,
+    key_col: str | None = None,
+    shingle_values: bool = False,
+    min_shingle_size: int = 2,
+    max_shingle_size: int = 4,
 ) -> SuggestionIndex:
     """df: records with a suggestion-value column (+ optional int key).
     Distinct values get stable doc ids = xxhash64(value): deterministic
@@ -66,11 +71,34 @@ def build_suggestion_index(
     a hard single-partition bottleneck at corpus scale). Values are
     distinct by construction, so ids collide only on a 64-bit hash
     collision; nothing downstream orders by doc_id (suggest ties break
-    on the suggestion string)."""
+    on the suggestion string).
+
+    shingle_values=True reproduces the reference's SHINGLE RECORD index
+    (G1): every word shingle of a value (ShingleAnalyzer min..max,
+    SuggestionIndex.java:234-244, ShingleAnalyzer.java:46-51) becomes a
+    suggestion value of its own, keyed by the source records — so 'lo'
+    can complete to 'lord', 'lord of the rings', 'of the rings', ...
+    exactly like SuggestionIndexTest.java's shingle expansion."""
     sel = [F.col(value_col).alias("suggestion")]
     if key_col:
         sel.append(F.col(key_col).alias("_key"))
     vals = df.select(*sel).filter(F.col("suggestion").isNotNull())
+    if shingle_values:
+        from pyspark.sql import types as T
+
+        from meresco_lucene_spark.analysis.tokenizer import shingles, tokenize_text
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def shingles_of_value(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: shingles(
+                    tokenize_text(v), min_shingle_size, max_shingle_size
+                )
+            )
+
+        vals = vals.withColumn(
+            "suggestion", F.explode(shingles_of_value(F.col("suggestion")))
+        )
     if key_col:
         grouped = vals.groupBy("suggestion").agg(
             F.sort_array(F.collect_set("_key")).alias("keys")

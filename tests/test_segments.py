@@ -113,6 +113,25 @@ def test_and_topk_missing_term_empty(spark, seg):
     assert seg.and_topk(["import", "nosuchterm"], 10).count() == 0
 
 
+def test_or_topk_dominating_doc(spark, tmp_path):
+    """Regression for the θ invariant: one doc dominating BOTH term
+    top-k pools. The old pooled-k-th θ could exceed the true k-th total
+    (the same doc occupied several pool slots); θ is now the k-th
+    largest per-doc SUM, which is a valid lower bound by construction.
+    Rank identity must hold for every k."""
+    import pandas as pd
+
+    rows = [(0, "aaa bbb " * 20)]
+    rows += [(i, "aaa filler words here") for i in range(1, 7)]
+    rows += [(i, "bbb filler words here") for i in range(7, 13)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    out = str(tmp_path / "dom")
+    s = build_segments(df, out, n_shards=4, salt_buckets=2, block_size=4)
+    for k in (1, 2, 3, 5, 12):
+        got = [(r.doc_id, round(r.score, 9)) for r in s.or_topk(["aaa", "bbb"], k).collect()]
+        assert got == exhaustive_multi_topk(spark, s, ["aaa", "bbb"], "or", k), k
+
+
 def test_hot_term_salted(seg):
     """df >= 5% of docs => postings spread over salt_buckets shards."""
     assert len(seg.term_shards("import")) == SALTS

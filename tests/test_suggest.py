@@ -56,6 +56,33 @@ def test_suggest_words(si):
     assert _suggestions(si, "fel") == ["Fellowship of the ring"]
 
 
+def test_shingle_record_index(spark):
+    """G1 shingle records (SuggestionIndex.java:234-244 shingles +
+    SuggestionIndexTest.java:158-159 golden): with shingle_values=True
+    every word shingle of a title is its own suggestion value, so a
+    partial input completes to sub-phrases, and shorter shingles
+    outrank longer ones (length norms)."""
+    pdf = pd.DataFrame(
+        {"rec": ["identifier"], "key": [1], "title": ["Lord of the rings"]}
+    )
+    s = build_suggestion_index(
+        spark.createDataFrame(pdf), "title", key_col="key", shingle_values=True
+    )
+    vals = {r["suggestion"] for r in s.values.select("suggestion").collect()}
+    assert vals == {
+        "lord", "lord of", "lord of the", "lord of the rings",
+        "of", "of the", "of the rings", "the", "the rings", "rings",
+    }
+    got = _suggestions(s, "lo")
+    # every lord-prefixed shingle matches the '$l' bigram; shortest first
+    assert got[0] == "lord"
+    assert "lord of the rings" in got
+    # all shingles carry the source record's key
+    keys = {tuple(r["keys"]) for r in s.values.collect()}
+    assert keys == {(1,)}
+    s.index.unpersist()
+
+
 def test_ranking_shorter_value_wins(spark):
     """SuggestionIndexTest.testRanking: 'lo' ranks 'Lord magic' (shorter,
     fewer ngrams -> higher BM25 tf-norm) above 'Lord of the rings'."""

@@ -30,10 +30,22 @@ def test_empty_and_punct_only():
 
 
 def test_shingles_min2_max3():
-    # ShingleAnalyzer contract: unigrams kept, plus 2..3-grams.
+    # ShingleAnalyzer contract: unigrams kept, plus 2..3-grams,
+    # position-major (Lucene ShingleFilter emission order).
     toks = ["a", "b", "c"]
     out = shingles(toks, 1, 3)
-    assert out == ["a", "b", "c", "a b", "b c", "a b c"]
+    assert out == ["a", "a b", "a b c", "b", "b c", "c"]
+
+
+def test_shingles_reference_golden():
+    # SuggestionIndexTest.java:158-159: index.shingles("Lord of the rings")
+    out = shingles(tokenize_text("Lord of the rings"), 2, 4)
+    assert out == [
+        "lord", "lord of", "lord of the", "lord of the rings",
+        "of", "of the", "of the rings",
+        "the", "the rings",
+        "rings",
+    ]
 
 
 def test_char_ngrams_bounded():
