@@ -125,6 +125,36 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
     corpus.unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)
 
+    # --- 4. persistent store: build once, REOPEN from disk, query --------
+    # (the 100 TB path: tokenize exactly once at build; every query below
+    # opens a fresh handle over parquet — zero session-cached state)
+    from meresco_lucene_spark.index.store import build_index_store
+
+    store_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_store_{os.getpid()}")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    t, _ = timed(
+        lambda: build_index_store(
+            docs,
+            store_dir,
+            id_col="doc_id",
+            text_cols=["text"],
+            keyword_cols=["lang", "source"],
+            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+        )
+    )
+    queries["store_build_documents"] = round(t, 3)
+    store_docs_per_sec = n_docs / t
+
+    from meresco_lucene_spark import entry_queries as eq
+
+    eq._STORE_CACHE[(id(spark), sf_dir)] = store_dir
+    for name in ("seg_term_bm25_top10", "seg_bool_must_top10",
+                 "seg_phrase_match", "seg_facet_lang"):
+        fn = eq.QUERIES[name]
+        t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
+        queries[f"store_{name[4:]}"] = round(t, 3)
+    shutil.rmtree(store_dir, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     return {
         "metric": "index_build_plus_query_suite",
@@ -136,6 +166,7 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
         "n_corpus": n_corpus,
         "index_docs_per_sec": round(df_index_docs_per_sec, 1),
         "segment_docs_per_sec": round(seg_docs_per_sec, 1),
+        "store_docs_per_sec": round(store_docs_per_sec, 1),
     }
 
 

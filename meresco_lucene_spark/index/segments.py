@@ -40,7 +40,6 @@ one build = one commit = one queryable snapshot.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -51,13 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meresco_lucene_spark.analysis.tokenizer import tokenize_expr
+from meresco_lucene_spark.index import wand
 from meresco_lucene_spark.index.codec import (
-    decode_doc_block,
-    encode_doc_block,
-    varint_decode,
     varint_encode,
     varint_sizes,
 )
+from meresco_lucene_spark.index.wand import WandParams
 from meresco_lucene_spark.query.bm25 import (
     B_DEFAULT,
     K1_DEFAULT,
@@ -121,54 +119,19 @@ class SegmentIndex:
             F.col("shard").isin(shards) & (F.col("term") == term)
         )
 
+    @property
+    def _params(self) -> "WandParams":
+        m = self.meta
+        return WandParams(m["n_docs"], m["avgdl"], m["k1"], m["b"])
+
     def term_topk(self, term: str, k: int = 10) -> DataFrame:
-        """Exact BM25 top-k for one term with block-max WAND pruning.
-
-        All blocks of the term collapse into one pandas group (they are
-        few: df/block_size rows); blocks are visited in descending
-        block_max_score order and decoding stops when the bound can't
-        beat the running k-th score — rank-identical to exhaustive
-        scoring because block_max_score is an exact per-block bound."""
-        meta = self.meta
-        blocks = self.blocks_for_term(term)
-        stats = (
-            self.term_stats.filter(F.col("term") == term)
-            .select("df")
-            .collect()
+        """Exact BM25 top-k for one term with block-max WAND pruning
+        (wand.term_topk; rank-identity property-tested)."""
+        stats = self.term_stats.filter(F.col("term") == term).select("df").collect()
+        df_t = int(stats[0]["df"]) if stats else None
+        return wand.term_topk(
+            self.spark, self.blocks_for_term(term), df_t, self._params, k
         )
-        if not stats:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        df_t = stats[0]["df"]
-        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
-
-        def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
-            # Blocks carry their own varint dl stream — scoring needs no
-            # side lookup (critical at scale: no docs-table broadcast).
-            pdf = pdf.sort_values("block_max_score", ascending=False)
-            best: list[tuple[float, int]] = []  # (score, doc_id), kept sorted
-            threshold = -np.inf
-            for _, row in pdf.iterrows():
-                if len(best) >= k and row["block_max_score"] < threshold:
-                    break  # no later block can beat the k-th score
-                doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                dls = varint_decode(row["dl_bytes"]).astype(float)
-                scores = bm25_score_numpy(
-                    tfs.astype(float), float(df_t), dls, n, avgdl, k1, b
-                )
-                for s, d in zip(scores, doc_ids):
-                    best.append((float(s), int(d)))
-                best.sort(key=lambda x: (-x[0], x[1]))
-                best = best[:k]
-                if len(best) >= k:
-                    threshold = best[-1][0]
-            return pd.DataFrame(
-                {"doc_id": [d for _, d in best], "score": [s for s, _ in best]}
-            )
-
-        grouped = blocks.groupBy("term").applyInPandas(
-            _topk, schema="doc_id long, score double"
-        )
-        return grouped.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def blocks_for_terms(self, terms: list[str]) -> DataFrame:
         """All blocks of a term set in ONE frame: shard+term predicates
@@ -197,217 +160,41 @@ class SegmentIndex:
             .collect()
         }
 
-    def _scores_for_terms(self, terms: list[str], dfs: dict[str, int]) -> DataFrame:
-        """Exact (doc_id, score) for every posting of a term set — one
-        mapInPandas over the combined block frame (per-term df looked up
-        from the broadcast-small dfs dict inside the closure)."""
-        meta = self.meta
-        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
-
-        def _score(it):
-            for pdf in it:
-                for _, row in pdf.iterrows():
-                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                    dls = varint_decode(row["dl_bytes"]).astype(float)
-                    scores = bm25_score_numpy(
-                        tfs.astype(float), float(dfs[row["term"]]), dls,
-                        n, avgdl, k1, b,
-                    )
-                    yield pd.DataFrame(
-                        {"doc_id": doc_ids.astype("int64"), "score": scores}
-                    )
-
-        return self.blocks_for_terms(terms).mapInPandas(
-            _score, schema="doc_id long, score double"
-        )
-
     def or_topk(self, terms: list[str], k: int = 10) -> DataFrame:
-        """Exact disjunctive (SHOULD) BM25 top-k with block-max pruning.
-
-        Distributed block-max WAND adaptation: postings of different
-        terms live in different shards, so document-at-a-time pointer
-        walks don't apply; instead
-          1. ONE job runs the per-term WAND top-k for all terms at once
-             (groupBy(term).applyInPandas) and returns each term's exact
-             max score alongside;
-          2. θ = k-th largest PER-DOC SUM of the collected single-term
-             scores. Each collected score is exact, and a doc's sum over
-             the terms present in its pool entries lower-bounds its true
-             total (missing terms only add), so θ lower-bounds the true
-             k-th total. Summing per doc both tightens θ and removes the
-             old pooled-k-th bug where one doc appearing in several
-             term pools made θ exceed the true k-th total;
-          3. a block of term t survives iff block_max + Σ_{u≠t}
-             term_max[u] >= θ — any doc all of whose blocks are pruned
-             has total < θ, so candidates ⊇ the true top-k;
-          4. candidates are re-scored EXACTLY over all their postings
-             (semi-join on the combined block frame), then global top-k.
-
-        Job count is O(1) in the number of terms (stats collect, pooled
-        WAND collect, final candidates+rescore query) — the previous
-        shape launched two driver jobs per term.
-        """
+        """Exact disjunctive (SHOULD) BM25 top-k — distributed block-max
+        WAND, O(1) driver jobs in the term count (see wand.or_topk)."""
         terms = list(dict.fromkeys(terms))
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        if len(terms) == 1:
-            return self.term_topk(terms[0], k)
         dfs = self._term_dfs(terms)
-        terms = [t for t in terms if t in dfs]
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        if len(terms) == 1:
-            return self.term_topk(terms[0], k)
-
-        meta = self.meta
-        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
-        blocks = self.blocks_for_terms(terms)
-
-        def _pool(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            term = key[0]
-            df_t = float(dfs[term])
-            pdf = pdf.sort_values("block_max_score", ascending=False)
-            tmax = float(pdf["block_max_score"].iloc[0]) if len(pdf) else 0.0
-            best: list[tuple[float, int]] = []
-            threshold = -np.inf
-            for _, row in pdf.iterrows():
-                if len(best) >= k and row["block_max_score"] < threshold:
-                    break
-                doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                dls = varint_decode(row["dl_bytes"]).astype(float)
-                scores = bm25_score_numpy(
-                    tfs.astype(float), df_t, dls, n, avgdl, k1, b
-                )
-                for s, d in zip(scores, doc_ids):
-                    best.append((float(s), int(d)))
-                best.sort(key=lambda x: (-x[0], x[1]))
-                best = best[:k]
-                if len(best) >= k:
-                    threshold = best[-1][0]
-            return pd.DataFrame(
-                {
-                    "term": term,
-                    "doc_id": [d for _, d in best],
-                    "score": [s for s, _ in best],
-                    "term_max": tmax,
-                }
-            )
-
-        pooled = blocks.groupBy("term").applyInPandas(
-            _pool, schema="term string, doc_id long, score double, term_max double"
-        ).collect()
-
-        term_max = {t: 0.0 for t in terms}
-        per_doc: dict[int, float] = {}
-        for r in pooled:
-            term_max[r["term"]] = max(term_max[r["term"]], r["term_max"])
-            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + r["score"]
-        doc_sums = sorted(per_doc.values(), reverse=True)
-        theta = doc_sums[k - 1] if len(doc_sums) >= k else -float("inf")
-        total_max = sum(term_max.values())
-
-        # survival bound per term, applied to the ONE combined block frame
-        surv = None
-        for t in terms:
-            bound_others = total_max - term_max[t]
-            c = (F.col("term") == t) & (
-                F.col("block_max_score") + F.lit(bound_others) >= F.lit(theta)
-            )
-            surv = c if surv is None else (surv | c)
-        candidates = (
-            self._decode_blocks(blocks.filter(surv)).select("doc_id").distinct()
-        )
-
-        scored = self._scores_for_terms(terms, dfs).join(
-            candidates, "doc_id", "left_semi"
-        )
-        return (
-            scored.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
+        if len(dfs) == 1:
+            return self.term_topk(next(iter(dfs)), k)
+        return wand.or_topk(
+            self.spark, self.blocks_for_terms(list(dfs)), dfs, self._params, k
         )
 
     def and_topk(self, terms: list[str], k: int = 10) -> DataFrame:
-        """Exact conjunctive (MUST) BM25 top-k: candidates driven by the
-        rarest term's postings (smallest df — the classic leapfrog), the
-        other terms semi-join down, score = Σ per-term BM25."""
+        """Exact conjunctive (MUST) BM25 top-k — rarest-term-driven
+        candidates (wand.and_topk); a missing term means no hits."""
         terms = list(dict.fromkeys(terms))
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        if len(terms) == 1:
-            return self.term_topk(terms[0], k)
-        dfs = {
-            r["term"]: r["df"]
-            for r in self.term_stats.filter(F.col("term").isin(terms)).collect()
-        }
+        dfs = self._term_dfs(terms)
         if len(dfs) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
-        order = sorted(terms, key=lambda t: dfs[t])
-        candidates = self._decode_blocks(self.blocks_for_term(order[0])).select("doc_id")
-        for t in order[1:]:
-            candidates = candidates.join(
-                self._decode_blocks(self.blocks_for_term(t)).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
-        scored = self._scores_for_terms(terms, {t: int(d) for t, d in dfs.items()}).join(
-            candidates, "doc_id", "left_semi"
-        )
-        return (
-            scored.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
+        if len(dfs) == 1:
+            return self.term_topk(next(iter(dfs)), k)
+        return wand.and_topk(
+            self.spark, self.blocks_for_terms(list(dfs)), dfs, self._params, k
         )
 
     def term_scores(self, term: str) -> DataFrame:
         """Exact (doc_id, score) frame for one term from the blocks."""
-        stats = self.term_stats.filter(F.col("term") == term).select("df").collect()
-        if not stats:
+        dfs = self._term_dfs([term])
+        if not dfs:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        df_t = float(stats[0]["df"])
-        meta = self.meta
-        n, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
-
-        def _score(it):
-            for pdf in it:
-                for _, row in pdf.iterrows():
-                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                    dls = varint_decode(row["dl_bytes"]).astype(float)
-                    scores = bm25_score_numpy(
-                        tfs.astype(float), df_t, dls, n, avgdl, k1, b
-                    )
-                    yield pd.DataFrame(
-                        {"doc_id": doc_ids.astype("int64"), "score": scores}
-                    )
-
-        return self.blocks_for_term(term).mapInPandas(
-            _score, schema="doc_id long, score double"
-        )
-
-    def _decode_blocks(self, blocks: DataFrame) -> DataFrame:
-        def _decode(it):
-            for pdf in it:
-                for _, row in pdf.iterrows():
-                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                    yield pd.DataFrame(
-                        {"doc_id": doc_ids.astype("int64"), "tf": tfs.astype("int64")}
-                    )
-
-        return blocks.mapInPandas(_decode, schema="doc_id long, tf long")
+        return wand.scores_for_blocks(self.blocks_for_term(term), dfs, self._params)
 
     def term_postings(self, term: str) -> DataFrame:
         """Decode a term's blocks back to (doc_id, tf) rows."""
-        blocks = self.blocks_for_term(term)
+        return wand.decode_blocks(self.blocks_for_term(term))
 
-        def _decode(it):
-            for pdf in it:
-                for _, row in pdf.iterrows():
-                    doc_ids, tfs = decode_doc_block(row["doc_bytes"], row["tf_bytes"])
-                    yield pd.DataFrame({"doc_id": doc_ids.astype("int64"), "tf": tfs.astype("int64")})
-
-        return blocks.mapInPandas(_decode, schema="doc_id long, tf long")
 
 
 def build_segments(

@@ -441,3 +441,74 @@ class PersistentIndex:
 
     def unpersist(self) -> None:  # interface parity; nothing cached
         pass
+
+    # --------------------------------------------- WAND top-k fast path
+    # Block-max pruned top-k straight from the store's blocks (shared
+    # machinery with segments.py in index/wand.py) — the latency path for
+    # plain term/OR/AND top-k; rank- and score-identical to the exact
+    # executor evaluation (tested in test_store.py).
+
+    def _wand_params(self, fld: str):
+        from meresco_lucene_spark.index.wand import WandParams
+
+        st = self.field_stats(fld)
+        return WandParams(st.n_docs, st.avgdl, self.k1, self.b)
+
+    def _field_blocks(self, fld: str, terms: list[str]) -> DataFrame:
+        return self.blocks.filter(
+            (F.col("field") == fld) & F.col("term").isin(terms)
+        )
+
+    def _field_dfs(self, fld: str, terms: list[str]) -> dict[str, int]:
+        return {
+            r["term"]: int(r["df"])
+            for r in self.term_stats.filter(
+                (F.col("field") == fld) & F.col("term").isin(terms)
+            )
+            .select("term", "df")
+            .collect()
+        }
+
+    def term_topk(self, fld: str, term: str, k: int = 10) -> DataFrame:
+        from meresco_lucene_spark.index import wand
+
+        dfs = self._field_dfs(fld, [term])
+        return wand.term_topk(
+            self.spark,
+            self._field_blocks(fld, [term]),
+            dfs.get(term),
+            self._wand_params(fld),
+            k,
+        )
+
+    def or_topk(self, fld: str, terms: list[str], k: int = 10) -> DataFrame:
+        from meresco_lucene_spark.index import wand
+
+        terms = list(dict.fromkeys(terms))
+        dfs = self._field_dfs(fld, terms)
+        if len(dfs) == 1:
+            return self.term_topk(fld, next(iter(dfs)), k)
+        return wand.or_topk(
+            self.spark,
+            self._field_blocks(fld, list(dfs)),
+            dfs,
+            self._wand_params(fld),
+            k,
+        )
+
+    def and_topk(self, fld: str, terms: list[str], k: int = 10) -> DataFrame:
+        from meresco_lucene_spark.index import wand
+
+        terms = list(dict.fromkeys(terms))
+        dfs = self._field_dfs(fld, terms)
+        if len(dfs) < len(terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if len(dfs) == 1:
+            return self.term_topk(fld, next(iter(dfs)), k)
+        return wand.and_topk(
+            self.spark,
+            self._field_blocks(fld, list(dfs)),
+            dfs,
+            self._wand_params(fld),
+            k,
+        )

@@ -117,6 +117,18 @@ class IngestSink:
             self.current_state(), id_col=self.id_col, cache=False, **build_kwargs
         )
 
+    def searchable_store(self, out_dir: str, **build_kwargs):
+        """Durable searcher refresh: materialize current state as a
+        persistent index store (index/store.py) — one commit = one
+        queryable ON-DISK snapshot, reopenable in any later session with
+        zero re-tokenization (the reference's commit -> refresh contract,
+        Lucene.java:899-907 + :920-945)."""
+        from meresco_lucene_spark.index.store import build_index_store
+
+        return build_index_store(
+            self.current_state(), out_dir, id_col=self.id_col, **build_kwargs
+        )
+
 
 def stream_ingest(
     stream_df: DataFrame,

@@ -162,6 +162,37 @@ def test_reopen_zero_retokenization(spark, stores, monkeypatch):
     assert r.total == 4 and len(r.hits) == 3
 
 
+def _topk_of(ix, q, k):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in hits(ix, q)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_store_wand_rank_identity(stores):
+    """The store's block-max WAND fast path (term/or/and_topk) must be
+    rank- AND score-identical to the exact executor evaluation."""
+    mem, disk = stores
+    for term in ("spark", "fast", "unique_term", "nosuchterm"):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in disk.term_topk("text", term, 4).collect()]
+        assert got == _topk_of(mem, Q.term("text", term), 4), term
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in disk.or_topk("text", ["spark", "join"], 4).collect()]
+    assert got == _topk_of(mem, Q.or_(Q.term("text", "spark"), Q.term("text", "join")), 4)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in disk.and_topk("text", ["spark", "join"], 4).collect()]
+    assert got == _topk_of(mem, Q.and_(Q.term("text", "spark"), Q.term("text", "join")), 4)
+    assert disk.and_topk("text", ["spark", "nosuchterm"], 4).count() == 0
+    # keyword field (omit_norms): dl=1/avgdl=1 collapses to tf/(tf+k1)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in disk.term_topk("lang", "py", 5).collect()]
+    assert got == _topk_of(mem, Q.term("lang", "py"), 5)
+
+
 def test_hot_term_salting_splits_blocks(spark, tmp_path):
     """A term over the hot-df threshold spreads across salt_buckets
     shards; postings still decode identically."""

@@ -89,6 +89,29 @@ def test_delete_where_epoch_safety(spark, tmp_path):
         sink.delete_where(F.col("text") == "keep", epoch_id=5)
 
 
+def test_commit_to_persistent_store(spark, tmp_path):
+    """Commit -> durable on-disk snapshot: ingest + update + delete, then
+    materialize a persistent store and query it from a FRESH handle
+    (reference commit -> refresh, durable across sessions)."""
+    from meresco_lucene_spark.index.store import PersistentIndex
+
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(
+        _batch(spark, [(1, "alpha beta", None), (2, "beta gamma", None)]), 0
+    )
+    sink.process_batch(_batch(spark, [(1, "alpha delta", None)]), 1)  # update
+    sink.process_batch(_batch(spark, [(2, None, True)]), 2)  # delete
+    sink.searchable_store(str(tmp_path / "store"), text_cols=["text"])
+
+    fresh = PersistentIndex(spark, str(tmp_path / "store"))
+    assert fresh.num_docs() == 1
+    assert {r["doc_id"] for r in hits(fresh, Q.term("text", "delta")).collect()} == {1}
+    # doc 1's old version ("alpha beta") replaced, doc 2 ("beta gamma") deleted
+    assert hits(fresh, Q.term("text", "beta")).count() == 0
+    assert hits(fresh, Q.term("text", "gamma")).count() == 0
+    assert {r["doc_id"] for r in hits(fresh, Q.term("text", "alpha")).collect()} == {1}
+
+
 def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     """Drive a real Structured Streaming query from a file source; each
     micro-batch lands as one commit."""
