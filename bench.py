@@ -180,14 +180,30 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def scaling_child(cores: int, n_corpus: int) -> None:
+def scaling_child(cores: int, n_corpus: int, target: str = "segments") -> None:
     """One measurement at a given parallelism: the segment index build
     (docs/sec) plus a pure-JVM hardware-calibration microbench (an
     embarrassingly parallel xxhash aggregation) run in the same JVM —
     the calibration measures what THIS host actually delivers at that
     thread count (vCPU oversubscription / turbo effects), so job scaling
-    can be normalized against the hardware ceiling."""
-    spark = build_spark(cores)
+    can be normalized against the hardware ceiling.
+
+    The PLAN is pinned across parallelism levels: shuffle partitions and
+    shard count are fixed (32) at both N and 4N cores, so the two runs
+    execute the identical task graph and only the executor thread count
+    differs — the cluster analogy (same partitioning, more executors).
+    Letting shuffle partitions track the core count made the low-core
+    run aggregate in 2 oversized, spilling partitions, measuring the
+    spill, not the scaling."""
+    from meresco_lucene_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mls-bench-scaling",
+        cores=cores,
+        shuffle_partitions=32,
+        driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     import shutil
     import tempfile
 
@@ -206,10 +222,18 @@ def scaling_child(cores: int, n_corpus: int) -> None:
 
     seg_dir = os.path.join(tempfile.gettempdir(), f"mls_scale_seg_{cores}_{os.getpid()}")
     shutil.rmtree(seg_dir, ignore_errors=True)
-    corpus = synthesize_corpus(spark, n_corpus, seed=42, partitions=cores * 2).persist()
+    corpus = synthesize_corpus(spark, n_corpus, seed=42, partitions=32).persist()
     corpus.count()
     t0 = time.time()
-    build_segments(corpus, seg_dir, n_shards=cores * 4, salt_buckets=8)
+    if target == "store":
+        from meresco_lucene_spark.index.store import build_index_store
+
+        build_index_store(
+            corpus, seg_dir, id_col="doc_id", text_cols=["content"],
+            n_shards=32, salt_buckets=8,
+        )
+    else:
+        build_segments(corpus, seg_dir, n_shards=32, salt_buckets=8)
     dt = time.time() - t0
     shutil.rmtree(seg_dir, ignore_errors=True)
     print(
@@ -224,7 +248,10 @@ def scaling_child(cores: int, n_corpus: int) -> None:
     )
 
 
-def scaling_main(n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> None:
+def scaling_main(
+    n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3,
+    target: str = "segments",
+) -> None:
     """Interleaved lo/hi repeats (this sandbox's CPU delivery is bursty;
     best-of-N per level filters noisy-neighbor slowdowns), then report
     raw + hardware-normalized efficiency."""
@@ -238,6 +265,7 @@ def scaling_main(n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> N
                     "--scaling-child",
                     str(cores),
                     str(n_corpus),
+                    target,
                 ],
                 capture_output=True,
                 text=True,
@@ -254,6 +282,7 @@ def scaling_main(n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> N
         r["calib_secs"] for r in runs[hi]
     )
     out = {
+        "target": target,
         "n_corpus": n_corpus,
         f"docs_per_sec_local{lo}": thr_n,
         f"docs_per_sec_local{hi}": thr_4n,
@@ -269,8 +298,13 @@ def scaling_main(n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> N
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
-        scaling_main(n)
+        tgt = sys.argv[3] if len(sys.argv) > 3 else "segments"
+        scaling_main(n, target=tgt)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+        scaling_child(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else "segments",
+        )
     else:
         main()

@@ -52,6 +52,98 @@ from meresco_lucene_spark.query.bm25 import (
 )
 
 
+def posting_frames(
+    df: DataFrame,
+    id_col: str,
+    text_cols: list[str] | None = None,
+    keyword_cols: list[str] | None = None,
+    array_cols: list[str] | None = None,
+    dutch_cols: list[str] | None = None,
+    positions: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """LAZY (postings, field_lengths) frames for a column spec — the
+    shared front half of the session index (InvertedIndex.build) and the
+    persistent store build (store.build_index_store), which materialize
+    them differently (heap cache vs parquet intermediates).
+
+    postings:      (field, term, doc_id, tf, positions array<int>)
+    field_lengths: (field, doc_id, dl, norm_dl)
+    """
+    text_cols = list(text_cols or [])
+    keyword_cols = list(keyword_cols or [])
+    array_cols = list(array_cols or [])
+    dutch_cols = list(dutch_cols or [])
+    doc = F.col(id_col).alias("doc_id")
+
+    posting_parts: list[DataFrame] = []
+    length_parts: list[DataFrame] = []
+    col_plans = (
+        [(c, "text") for c in text_cols]
+        + [(c, "array") for c in array_cols]
+        + [(c, "dutch") for c in dutch_cols]
+    )
+    for col, kind in col_plans:
+        # JVM tokenizer (codegen) — the pandas-UDF twin exists for
+        # exotic folds; contracts are identical (tokenizer.py).
+        if kind == "array":
+            tok_expr = F.col(col)
+        elif kind == "dutch":
+            from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
+
+            tok_expr = tokenize_dutch_udf(F.col(col))
+        else:
+            tok_expr = tokenize_expr(F.col(col))
+        toks = df.select(doc, tok_expr.alias("tokens"))
+        exploded = toks.select(
+            "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
+        ).filter(F.col("term").isNotNull())
+        agg_cols = [F.count("*").cast("long").alias("tf")]
+        if positions:
+            agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        p = (
+            exploded.groupBy("term", "doc_id")
+            .agg(*agg_cols)
+            .withColumn("field", F.lit(col))
+        )
+        if not positions:
+            p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+        posting_parts.append(p.select("field", "term", "doc_id", "tf", "positions"))
+        length_parts.append(
+            toks.select(
+                F.lit(col).alias("field"),
+                "doc_id",
+                F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl"),
+            )
+        )
+    for col in keyword_cols:
+        kw = df.filter(F.col(col).isNotNull()).select(
+            F.lit(col).alias("field"),
+            F.col(col).cast("string").alias("term"),
+            doc,
+            F.lit(1).cast("long").alias("tf"),
+            F.array(F.lit(0)).alias("positions"),
+        )
+        posting_parts.append(kw)
+        # Keyword fields omit norms: dl recorded as 1 for completeness.
+        length_parts.append(
+            df.filter(F.col(col).isNotNull()).select(
+                F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
+            )
+        )
+
+    if not posting_parts:
+        raise ValueError("at least one text or keyword column required")
+
+    postings = posting_parts[0]
+    for p in posting_parts[1:]:
+        postings = postings.unionByName(p)
+    field_lengths = length_parts[0]
+    for p in length_parts[1:]:
+        field_lengths = field_lengths.unionByName(p)
+    field_lengths = field_lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl")))
+    return postings, field_lengths
+
+
 @dataclass
 class FieldStats:
     n_docs: int
@@ -125,79 +217,15 @@ class InvertedIndex:
                        taxonomy facets; a 1-element list is a flat dim)
         """
         spark = df.sparkSession
-        text_cols = list(text_cols or [])
         keyword_cols = list(keyword_cols or [])
-        array_cols = list(array_cols or [])
-        dutch_cols = list(dutch_cols or [])
-        doc = F.col(id_col).alias("doc_id")
-
-        posting_parts: list[DataFrame] = []
-        length_parts: list[DataFrame] = []
-        col_plans = (
-            [(c, "text") for c in text_cols]
-            + [(c, "array") for c in array_cols]
-            + [(c, "dutch") for c in dutch_cols]
-        )
-        for col, kind in col_plans:
-            # JVM tokenizer (codegen) — the pandas-UDF twin exists for
-            # exotic folds; contracts are identical (tokenizer.py).
-            if kind == "array":
-                tok_expr = F.col(col)
-            elif kind == "dutch":
-                from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
-
-                tok_expr = tokenize_dutch_udf(F.col(col))
-            else:
-                tok_expr = tokenize_expr(F.col(col))
-            toks = df.select(doc, tok_expr.alias("tokens"))
-            exploded = toks.select(
-                "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
-            ).filter(F.col("term").isNotNull())
-            agg_cols = [F.count("*").cast("long").alias("tf")]
-            if positions:
-                agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-            p = (
-                exploded.groupBy("term", "doc_id")
-                .agg(*agg_cols)
-                .withColumn("field", F.lit(col))
-            )
-            if not positions:
-                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
-            posting_parts.append(p.select("field", "term", "doc_id", "tf", "positions"))
-            length_parts.append(
-                toks.select(
-                    F.lit(col).alias("field"),
-                    "doc_id",
-                    F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl"),
-                )
-            )
-        for col in keyword_cols:
-            kw = df.filter(F.col(col).isNotNull()).select(
-                F.lit(col).alias("field"),
-                F.col(col).cast("string").alias("term"),
-                doc,
-                F.lit(1).cast("long").alias("tf"),
-                F.array(F.lit(0)).alias("positions"),
-            )
-            posting_parts.append(kw)
-            # Keyword fields omit norms: dl recorded as 1 for completeness.
-            length_parts.append(
-                df.filter(F.col(col).isNotNull()).select(
-                    F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
-                )
-            )
-
-        if not posting_parts:
-            raise ValueError("at least one text or keyword column required")
-
-        postings = posting_parts[0]
-        for p in posting_parts[1:]:
-            postings = postings.unionByName(p)
-        field_lengths = length_parts[0]
-        for p in length_parts[1:]:
-            field_lengths = field_lengths.unionByName(p)
-        field_lengths = field_lengths.withColumn(
-            "norm_dl", quantize_dl_expr(F.col("dl"))
+        postings, field_lengths = posting_frames(
+            df,
+            id_col=id_col,
+            text_cols=text_cols,
+            keyword_cols=keyword_cols,
+            array_cols=array_cols,
+            dutch_cols=dutch_cols,
+            positions=positions,
         )
 
         term_stats = postings.groupBy("field", "term").agg(

@@ -53,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meresco_lucene_spark.index.builder import FieldStats, InvertedIndex
+from meresco_lucene_spark.index.builder import FieldStats
 from meresco_lucene_spark.index.codec import (
     decode_doc_block,
     varint_decode,
@@ -130,13 +130,20 @@ def build_index_store(
     block_size: int = 128,
     hot_df_fraction: float = 0.05,
 ) -> "PersistentIndex":
-    """Build the persistent store: one tokenize pass (via
-    InvertedIndex.build's lazy frames), four parquet tables, one salted
-    shard shuffle for the block encode. One build = one commit = one
-    durable, fully queryable snapshot."""
+    """Build the persistent store: one tokenize+agg pass materialized to
+    a parquet intermediate (no in-memory caching of the positions-heavy
+    postings — disk-backed intermediates keep executor heaps flat, which
+    is both the 100 TB shape and what kills the GC-stall stragglers this
+    host showed with cached builds), then four parquet tables and one
+    salted shard shuffle for the block encode. One build = one commit =
+    one durable, fully queryable snapshot."""
+    import shutil
+
+    from meresco_lucene_spark.index.builder import posting_frames
+
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    idx = InvertedIndex.build(
+    postings_lazy, lengths_lazy = posting_frames(
         df,
         id_col=id_col,
         text_cols=text_cols,
@@ -144,21 +151,30 @@ def build_index_store(
         array_cols=array_cols,
         dutch_cols=dutch_cols,
         positions=True,
-        k1=k1,
-        b=b,
-        cache=True,
-        facet_fields=facet_fields,
-        similarity=similarity,
-        quantized=quantized,
     )
+    forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
+    flat_dir = os.path.join(out_dir, "_flat_postings")
     try:
-        idx.forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
-        idx.field_lengths.write.mode("overwrite").parquet(
+        # ONE tokenize+groupBy pass lands the flat postings on disk; every
+        # later stage reads them back instead of recomputing or caching.
+        postings_lazy.write.mode("overwrite").parquet(flat_dir)
+        flat_postings = spark.read.parquet(flat_dir)
+
+        forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
+        # field lengths: second codegen tokenize pass, shuffle-free —
+        # cheaper than joining against the postings shuffle.
+        lengths_lazy.write.mode("overwrite").parquet(
             os.path.join(out_dir, "field_lengths")
         )
-        hot_threshold = max(int(hot_df_fraction * idx.n_docs), 1)
+        n_docs = spark.read.parquet(os.path.join(out_dir, "forward")).count()
+        hot_threshold = max(int(hot_df_fraction * n_docs), 1)
         tstats = (
-            idx.term_stats.withColumn(
+            flat_postings.groupBy("field", "term")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .withColumn(
                 "base_shard",
                 F.pmod(F.xxhash64(F.col("field"), F.col("term")), F.lit(n_shards)).cast(
                     "int"
@@ -173,10 +189,11 @@ def build_index_store(
         )
         tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
         tstats_df = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        lengths_df = spark.read.parquet(os.path.join(out_dir, "field_lengths"))
 
         dl_col = "norm_dl" if quantized else "dl"
         flat = (
-            idx.postings.join(
+            flat_postings.join(
                 tstats_df.select("field", "term", "df", "base_shard", "n_salts"),
                 ["field", "term"],
             )
@@ -188,15 +205,30 @@ def build_index_store(
                 ).cast("int"),
             )
             .join(
-                idx.field_lengths.select(
-                    "field", "doc_id", F.col(dl_col).alias("_dl")
-                ),
+                lengths_df.select("field", "doc_id", F.col(dl_col).alias("_dl")),
                 ["field", "doc_id"],
             )
         )
 
+        # per-field corpus stats from the WRITTEN lengths table (one small
+        # aggregate; nothing recomputed from raw text)
+        omit = set(keyword_cols or [])
+        stat_rows = (
+            lengths_df.groupBy("field")
+            .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
+            .collect()
+        )
+        field_stats_meta = {
+            r["field"]: {
+                "n_docs": int(r["nd"]),
+                "sum_dl": int(r["sdl"]),
+                "omit_norms": r["field"] in omit,
+            }
+            for r in stat_rows
+        }
         field_params = {
-            f: (st.n_docs, st.avgdl) for f, st in idx.stats.items()
+            f: (d["n_docs"], d["sum_dl"] / d["n_docs"] if d["n_docs"] else 1.0)
+            for f, d in field_stats_meta.items()
         }
 
         def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -309,13 +341,9 @@ def build_index_store(
         )
 
         meta = {
-            "n_docs": idx.n_docs,
-            "field_stats": {
-                f: {"n_docs": st.n_docs, "sum_dl": st.sum_dl,
-                    "omit_norms": st.omit_norms}
-                for f, st in idx.stats.items()
-            },
-            "facet_fields": idx.facet_fields,
+            "n_docs": n_docs,
+            "field_stats": field_stats_meta,
+            "facet_fields": dict(facet_fields or {}),
             "k1": k1,
             "b": b,
             "similarity": similarity,
@@ -329,7 +357,7 @@ def build_index_store(
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
     finally:
-        idx.unpersist()
+        shutil.rmtree(flat_dir, ignore_errors=True)
     return PersistentIndex(spark, out_dir)
 
 

@@ -193,6 +193,59 @@ def test_store_wand_rank_identity(stores):
     assert got == _topk_of(mem, Q.term("lang", "py"), 5)
 
 
+def test_composed_queries_over_persistent_cores(spark, tmp_path):
+    """Multi-core composed queries run unchanged over PersistentIndex
+    cores reopened from disk (MultiLuceneTest.java testJoinQuery golden:
+    coreA docs whose A-key has a coreB doc with N=true)."""
+    from meresco_lucene_spark.compose.composedquery import (
+        ComposedQuery,
+        execute_composed,
+    )
+
+    a_rows = [(0, "A", 1, "false"), (1, "A-U", 2, "false"),
+              (2, "A-Q", 3, "false"), (3, "A-QU", 4, "false"),
+              (4, "A-M", 5, "true"), (5, "A-MU", 6, "true"),
+              (6, "A-MQ", 7, "true"), (7, "A-MQU", 8, "true")]
+    b_rows = [(0, 5, "true"), (1, 6, "true"), (2, 7, "true"), (3, 8, "true"),
+              (4, 9, "true"), (5, 10, "false")]
+    a = spark.createDataFrame(
+        pd.DataFrame(a_rows, columns=["doc_id", "id", "A", "M"])
+    )
+    b = spark.createDataFrame(pd.DataFrame(b_rows, columns=["doc_id", "B", "N"]))
+    build_index_store(a, str(tmp_path / "coreA"), keyword_cols=["M", "id"], n_shards=4)
+    build_index_store(b, str(tmp_path / "coreB"), keyword_cols=["N"], n_shards=4)
+    cores = {
+        "coreA": PersistentIndex(spark, str(tmp_path / "coreA")),
+        "coreB": PersistentIndex(spark, str(tmp_path / "coreB")),
+    }
+    cq = ComposedQuery("coreA", queries={"coreA": Q.matchall()})
+    cq.set_core_query("coreB", Q.term("N", "true"))
+    cq.add_match("coreA", "A", "coreB", "B")
+    r = execute_composed(cores, cq)
+    assert r.total == 4
+    assert {h.id for h in r.hits} == {4, 5, 6, 7}  # A-M, A-MU, A-MQ, A-MQU
+
+
+def test_store_array_cols_and_term_frequency_similarity(spark, tmp_path):
+    """Stores persist pre-tokenized array fields (the suggestion ngram
+    shape) and the TermFrequency similarity setting survives reopen
+    (search/TermFrequencySimilarity.java:40-58: score = tf/1000 * boost)."""
+    rows = [(1, ["$a", "ab", "b$", "ab"]), (2, ["$a", "zz"])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "bigram"]))
+    out = str(tmp_path / "arr")
+    build_index_store(
+        df, out, array_cols=["bigram"], similarity="TermFrequency", n_shards=2
+    )
+    disk = PersistentIndex(spark, out)
+    assert disk.similarity == "TermFrequency"
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in hits(disk, Q.term("bigram", "ab")).collect()}
+    assert got == {1: round(2 / 1000, 9)}
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in hits(disk, Q.term("bigram", "$a", boost=3.0)).collect()}
+    assert got == {1: 0.003, 2: 0.003}
+
+
 def test_hot_term_salting_splits_blocks(spark, tmp_path):
     """A term over the hot-df threshold spreads across salt_buckets
     shards; postings still decode identically."""
