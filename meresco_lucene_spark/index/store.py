@@ -129,6 +129,8 @@ def build_index_store(
     salt_buckets: int = 8,
     block_size: int = 128,
     hot_df_fraction: float = 0.05,
+    resume: bool = False,
+    run_id: str = "run0",
 ) -> "PersistentIndex":
     """Build the persistent store: one tokenize+agg pass materialized to
     a parquet intermediate (no in-memory caching of the positions-heavy
@@ -136,7 +138,14 @@ def build_index_store(
     is both the 100 TB shape and what kills the GC-stall stragglers this
     host showed with cached builds), then four parquet tables and one
     salted shard shuffle for the block encode. One build = one commit =
-    one durable, fully queryable snapshot."""
+    one durable, fully queryable snapshot.
+
+    Resume (same contract as segments.build_segments): table stages skip
+    on an existing _SUCCESS marker; the sharded postings resume at shard
+    granularity via lineage rows — shards with a lineage row are kept,
+    partial shard dirs without one are wiped and re-encoded. Blocks are a
+    pure function of the (field, term, doc)-sorted postings, so a resumed
+    build is logically identical to an uninterrupted one (tested)."""
     import shutil
 
     from meresco_lucene_spark.index.builder import posting_frames
@@ -154,18 +163,28 @@ def build_index_store(
     )
     forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
     flat_dir = os.path.join(out_dir, "_flat_postings")
+    post_dir = os.path.join(out_dir, "postings")
+    lin_dir = os.path.join(out_dir, "lineage")
+
+    def _stage_done(d: str) -> bool:
+        return resume and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    ok = False
     try:
         # ONE tokenize+groupBy pass lands the flat postings on disk; every
         # later stage reads them back instead of recomputing or caching.
-        postings_lazy.write.mode("overwrite").parquet(flat_dir)
+        if not _stage_done(flat_dir):
+            postings_lazy.write.mode("overwrite").parquet(flat_dir)
         flat_postings = spark.read.parquet(flat_dir)
 
-        forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
+        if not _stage_done(os.path.join(out_dir, "forward")):
+            forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
         # field lengths: second codegen tokenize pass, shuffle-free —
         # cheaper than joining against the postings shuffle.
-        lengths_lazy.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "field_lengths")
-        )
+        if not _stage_done(os.path.join(out_dir, "field_lengths")):
+            lengths_lazy.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "field_lengths")
+            )
         n_docs = spark.read.parquet(os.path.join(out_dir, "forward")).count()
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
         tstats = (
@@ -187,7 +206,10 @@ def build_index_store(
                 .cast("int"),
             )
         )
-        tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        if not _stage_done(os.path.join(out_dir, "term_stats")):
+            tstats.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "term_stats")
+            )
         tstats_df = spark.read.parquet(os.path.join(out_dir, "term_stats"))
         lengths_df = spark.read.parquet(os.path.join(out_dir, "field_lengths"))
 
@@ -209,6 +231,25 @@ def build_index_store(
                 ["field", "doc_id"],
             )
         )
+
+        # ---- shard-level resume (lineage contract of segments.py) ----
+        done_shards: set[int] = set()
+        if resume and os.path.exists(lin_dir):
+            done_shards = {
+                r["shard"]
+                for r in spark.read.parquet(lin_dir).select("shard").collect()
+            }
+            if os.path.exists(post_dir):
+                for entry in os.listdir(post_dir):
+                    if entry.startswith("shard="):
+                        s = int(entry.split("=")[1])
+                        if s not in done_shards:
+                            shutil.rmtree(os.path.join(post_dir, entry))
+        else:
+            shutil.rmtree(post_dir, ignore_errors=True)
+            shutil.rmtree(lin_dir, ignore_errors=True)
+        remaining = [s for s in range(n_shards) if s not in done_shards]
+        flat = flat.filter(F.col("shard").isin(remaining))
 
         # per-field corpus stats from the WRITTEN lengths table (one small
         # aggregate; nothing recomputed from raw text)
@@ -333,12 +374,42 @@ def build_index_store(
                 }
             )
 
-        encoded = flat.groupBy("shard").applyInPandas(
-            _encode, schema=STORE_POSTINGS_SCHEMA
-        )
-        encoded.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(out_dir, "postings")
-        )
+        if remaining:
+            encoded = flat.groupBy("shard").applyInPandas(
+                _encode, schema=STORE_POSTINGS_SCHEMA
+            )
+            encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
+            # lineage: one row per completed shard; content hash is an
+            # order-independent bit_xor of per-block xxhash64
+            written = spark.read.parquet(post_dir).filter(
+                F.col("shard").isin(remaining)
+            )
+            lineage = (
+                written.withColumn(
+                    "_h",
+                    F.xxhash64(
+                        F.col("field"),
+                        F.col("term"),
+                        F.col("block_id"),
+                        F.col("doc_bytes"),
+                        F.col("tf_bytes"),
+                        F.col("dl_bytes"),
+                        F.col("pos_bytes"),
+                    ),
+                )
+                .groupBy("shard")
+                .agg(
+                    F.countDistinct("field", "term").cast("long").alias("n_terms"),
+                    F.count("*").cast("long").alias("n_blocks"),
+                    F.sum("doc_count").cast("long").alias("n_postings"),
+                    (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
+                    .cast("long")
+                    .alias("bytes"),
+                    F.expr("bit_xor(_h)").cast("string").alias("content_sha256"),
+                    F.lit(run_id).alias("run_id"),
+                )
+            )
+            lineage.write.mode("append").parquet(lin_dir)
 
         meta = {
             "n_docs": n_docs,
@@ -356,8 +427,11 @@ def build_index_store(
         }
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
+        ok = True
     finally:
-        shutil.rmtree(flat_dir, ignore_errors=True)
+        # keep the intermediate on failure so a resume can reuse it
+        if ok:
+            shutil.rmtree(flat_dir, ignore_errors=True)
     return PersistentIndex(spark, out_dir)
 
 

@@ -246,6 +246,74 @@ def test_store_array_cols_and_term_frequency_similarity(spark, tmp_path):
     assert got == {1: 0.003, 2: 0.003}
 
 
+def _store_logical_content(spark, out_dir):
+    disk = PersistentIndex(spark, out_dir)
+    rows = disk.postings_for("text").collect()
+    return sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"])) for r in rows
+    )
+
+
+def test_store_crash_resume_identical(spark, tmp_path):
+    """Kill-and-rerun for the persistent store (same lineage contract as
+    segments): wipe one shard fully (data+lineage) and leave another
+    partially written with no lineage row; resume must re-encode exactly
+    the missing shards and reproduce identical logical content."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(150),
+            "text": [f"alpha beta w{i} w{i%7} gamma" for i in range(150)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index_store(df, a_dir, text_cols=["text"], n_shards=4, block_size=16)
+    golden = _store_logical_content(spark, a_dir)
+
+    shutil.copytree(a_dir, b_dir)
+    lin = pq.read_table(f"{b_dir}/lineage").to_pandas()
+    keep = lin[~lin["shard"].isin([1, 2])]
+    shutil.rmtree(f"{b_dir}/lineage")
+    import os
+
+    os.makedirs(f"{b_dir}/lineage")
+    pq.write_table(
+        pa.Table.from_pandas(keep, preserve_index=False),
+        f"{b_dir}/lineage/part-0.parquet",
+    )
+    shutil.rmtree(f"{b_dir}/postings/shard=1")
+    files2 = glob.glob(f"{b_dir}/postings/shard=2/*.parquet")
+    assert files2
+    os.remove(files2[0])
+
+    build_index_store(
+        df, b_dir, text_cols=["text"], n_shards=4, block_size=16,
+        resume=True, run_id="resume1",
+    )
+    assert _store_logical_content(spark, b_dir) == golden
+    lin_b = spark.read.parquet(f"{b_dir}/lineage")
+    assert {r["shard"] for r in lin_b.collect()} == {0, 1, 2, 3}
+    resumed = {
+        r["shard"] for r in lin_b.filter(F2.col("run_id") == "resume1").collect()
+    }
+    assert resumed == {1, 2}
+    # resume over a complete store is a no-op (original run_ids kept)
+    build_index_store(
+        df, b_dir, text_cols=["text"], n_shards=4, block_size=16,
+        resume=True, run_id="resume2",
+    )
+    lin_b2 = spark.read.parquet(f"{b_dir}/lineage")
+    assert "resume2" not in {r["run_id"] for r in lin_b2.collect()}
+    assert _store_logical_content(spark, b_dir) == golden
+
+
 def test_hot_term_salting_splits_blocks(spark, tmp_path):
     """A term over the hot-df threshold spreads across salt_buckets
     shards; postings still decode identically."""
