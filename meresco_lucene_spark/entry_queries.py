@@ -28,6 +28,7 @@ from meresco_lucene_spark.query.executor import (
     scored_hits_df,
     sort_exprs,
 )
+from meresco_lucene_spark.query.cql import cql_to_query
 from meresco_lucene_spark.query.ir import FILTER, MUST, MUST_NOT, SHOULD, Q
 
 _INDEX_CACHE: dict[tuple[str, str], InvertedIndex] = {}
@@ -301,6 +302,17 @@ def q_distance_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         _geo_docs(spark, sf_dir), id_col="doc_id", keyword_cols=["lang"], cache=False
     )
     q = Q.distance("geo", 10.25, 20.5, 2_500_000.0)
+    return hits(idx, q).select("doc_id").orderBy("doc_id")
+
+
+def q_cql_boolean(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
+    """Q13 CQL front-end END-TO-END: the reference's full query pipeline
+    (CQL string -> QueryExpression -> query IR -> plan,
+    adaptertolucenequery.py:42-52): parse a CQL boolean and execute it —
+    results must equal the hand-built IR's (same oracle as a manual
+    MUST+MUST_NOT over the same terms)."""
+    idx = get_idx(spark, sf_dir)
+    q = cql_to_query("text = window NOT text = spark")
     return hits(idx, q).select("doc_id").orderBy("doc_id")
 
 
@@ -674,6 +686,7 @@ QUERIES = {
     "suggest_spellcheck": q_suggest_spellcheck,
     "similar_documents": q_similar_documents,
     "distance_within": q_distance_within,
+    "cql_boolean": q_cql_boolean,
 }
 
 # seg_* entries: the SAME queries served from the persistent on-disk
@@ -911,6 +924,12 @@ WHERE 2 * 6371008.7714 * asin(sqrt(
         + cos(radians(lat)) * cos(radians(10.25))
           * sin(radians(20.5 - lon) / 2) * sin(radians(20.5 - lon) / 2)
       )) <= 2500000
+ORDER BY doc_id
+""",
+    "cql_boolean": ORACLE_PRELUDE
+    + """
+SELECT doc_id FROM scored WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM scored WHERE term = 'spark')
 ORDER BY doc_id
 """,
     "term_bm25_top10": _bm25_topk_sql("term = 'spark'"),

@@ -132,6 +132,74 @@ def build_suggestion_index(
     return SuggestionIndex(index=idx, values=values)
 
 
+def build_suggestion_store(
+    df: DataFrame,
+    value_col: str,
+    out_dir: str,
+    key_col: str | None = None,
+    shingle_values: bool = False,
+    min_shingle_size: int = 2,
+    max_shingle_size: int = 4,
+) -> SuggestionIndex:
+    """Durable suggestion index: the ngram index persisted as an on-disk
+    store (index/store.py) plus a values parquet — reopenable in any
+    session with zero re-analysis. Same semantics as
+    build_suggestion_index; the reference's equivalent is the
+    SuggestionNGramIndex directory (SuggestionNGramIndex.java:109-135)."""
+    import os
+
+    from meresco_lucene_spark.index.store import build_index_store
+
+    si = build_suggestion_index(
+        df, value_col, key_col, shingle_values, min_shingle_size, max_shingle_size
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    si.values.select("doc_id", "suggestion", "keys").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "values"))
+    build_index_store(
+        si.values,
+        os.path.join(out_dir, "index"),
+        id_col="doc_id",
+        array_cols=["bigram", "trigram"],
+    )
+    si.values.unpersist()
+    si.index.unpersist()
+    return open_suggestion_store(df.sparkSession, out_dir)
+
+
+def open_suggestion_store(spark, out_dir: str) -> SuggestionIndex:
+    import os
+
+    from meresco_lucene_spark.index.store import PersistentIndex
+
+    return SuggestionIndex(
+        index=PersistentIndex(spark, os.path.join(out_dir, "index")),
+        values=spark.read.parquet(os.path.join(out_dir, "values")),
+    )
+
+
+def swap_suggestion_store(
+    df: DataFrame, value_col: str, live_dir: str, **kwargs
+) -> SuggestionIndex:
+    """G5 atomic rebuild-and-swap (SuggestionIndex.java:132-158): build
+    the new index into ``live_dir~``, rename the live dir aside, rename
+    the new one over it, delete the old — readers opened before the swap
+    keep their snapshot; new opens see the rebuilt index."""
+    import os
+    import shutil
+
+    tmp, old = live_dir + "~", live_dir + "~~"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    build_suggestion_store(df, value_col, tmp, **kwargs)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, old)
+    os.rename(tmp, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return open_suggestion_store(df.sparkSession, live_dir)
+
+
 def suggest(
     si: SuggestionIndex,
     value: str,

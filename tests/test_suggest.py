@@ -83,6 +83,35 @@ def test_shingle_record_index(spark):
     s.index.unpersist()
 
 
+def test_suggestion_store_reopen_and_swap(spark, tmp_path):
+    """Durable suggestion index: build -> reopen from disk -> same
+    suggestions; then an atomic rebuild-and-swap (G5,
+    SuggestionIndex.java:132-158) replaces the live dir with new values."""
+    from meresco_lucene_spark.suggest import (
+        build_suggestion_store,
+        open_suggestion_store,
+        swap_suggestion_store,
+    )
+
+    live = str(tmp_path / "sugg")
+    v1 = spark.createDataFrame(
+        pd.DataFrame({"key": [1, 1], "title": ["harry", "hallo"]})
+    )
+    build_suggestion_store(v1, "title", live, key_col="key")
+    si = open_suggestion_store(spark, live)  # fresh reopen, disk only
+    assert _suggestions(si, "ha") == ["hallo", "harry"]
+
+    v2 = spark.createDataFrame(
+        pd.DataFrame({"key": [2, 2], "title": ["harbor", "hazel"]})
+    )
+    swap_suggestion_store(v2, "title", live, key_col="key")
+    si2 = open_suggestion_store(spark, live)
+    assert _suggestions(si2, "ha") == ["hazel", "harbor"]  # shorter ranks first
+    import os
+
+    assert not os.path.exists(live + "~") and not os.path.exists(live + "~~")
+
+
 def test_ranking_shorter_value_wins(spark):
     """SuggestionIndexTest.testRanking: 'lo' ranks 'Lord magic' (shorter,
     fewer ngrams -> higher BM25 tf-norm) above 'Lord of the rings'."""
