@@ -316,6 +316,56 @@ def q_cql_boolean(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFr
     return hits(idx, q).select("doc_id").orderBy("doc_id")
 
 
+_INGEST_CACHE: dict[tuple[int, str], str] = {}
+
+
+def q_ingest_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3/S8 streaming ingest END-TO-END in the correctness gate: the
+    events table replayed as 4 micro-batch commits in (ts, event_id)
+    arrival order through IngestSink (upsert by user_id per batch,
+    reference commit policy), then current_state() = the post-refresh
+    index contents. Oracle: latest event per user by (ts, event_id).
+    The ntile window only SIMULATES arrival order for the fixture —
+    real streams get batch boundaries from the source."""
+    from meresco_lucene_spark.streaming.ingest import IngestSink
+
+    key = (id(spark), sf_dir)
+    if key not in _INGEST_CACHE:
+        import tempfile
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.orderBy("ts", "event_id")
+        staged = events.withColumn("_batch", F.ntile(4).over(w)).withColumn(
+            "_seq", F.row_number().over(w)
+        )
+        state_dir = tempfile.mkdtemp(prefix="mls_ingest_")
+        sink = IngestSink(spark, state_dir, id_col="user_id")
+        for b in range(1, 5):
+            sink.process_batch(
+                staged.filter(F.col("_batch") == b).drop("_batch"), b - 1
+            )
+        _INGEST_CACHE[key] = state_dir
+    sink = IngestSink(spark, _INGEST_CACHE[key], id_col="user_id")
+    return (
+        sink.current_state()
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the Structured Streaming idiom, batch
+    equivalent): events per 1-day window per type."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.to_date(F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("day", "event_type")
+    )
+
+
 # --------------------------------------------- composed (multi-core) queries
 #
 # The reference's multi-core key-join algebra (SURVEY §2.5, MultiLucene.java)
@@ -687,6 +737,8 @@ QUERIES = {
     "similar_documents": q_similar_documents,
     "distance_within": q_distance_within,
     "cql_boolean": q_cql_boolean,
+    "ingest_latest_state": q_ingest_latest_state,
+    "events_windowed_counts": q_events_windowed_counts,
 }
 
 # seg_* entries: the SAME queries served from the persistent on-disk
@@ -925,6 +977,17 @@ WHERE 2 * 6371008.7714 * asin(sqrt(
           * sin(radians(20.5 - lon) / 2) * sin(radians(20.5 - lon) / 2)
       )) <= 2500000
 ORDER BY doc_id
+""",
+    "ingest_latest_state": """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+    "events_windowed_counts": """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
     "cql_boolean": ORACLE_PRELUDE
     + """
