@@ -144,6 +144,88 @@ def posting_frames(
     return postings, field_lengths
 
 
+def occurrence_frames(
+    df: DataFrame,
+    id_col: str,
+    text_cols: list[str] | None = None,
+    keyword_cols: list[str] | None = None,
+    array_cols: list[str] | None = None,
+    dutch_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """LAZY (occurrences, field_lengths) frames — the store build's
+    front half. Unlike :func:`posting_frames`, occurrences stay one row
+    per token position (field, term, doc_id, pos) with NO aggregation:
+    the only heavy operator between tokenize and the shard encode is a
+    plain shuffle. This avoids the collect_list ObjectHashAggregate
+    (whose sort-fallback/spill was the store build's highest-variance
+    stage); tf and position lists are derived vectorized inside the
+    whole-shard numpy encode, which sorts everything anyway."""
+    text_cols = list(text_cols or [])
+    keyword_cols = list(keyword_cols or [])
+    array_cols = list(array_cols or [])
+    dutch_cols = list(dutch_cols or [])
+    doc = F.col(id_col).alias("doc_id")
+
+    occ_parts: list[DataFrame] = []
+    length_parts: list[DataFrame] = []
+    col_plans = (
+        [(c, "text") for c in text_cols]
+        + [(c, "array") for c in array_cols]
+        + [(c, "dutch") for c in dutch_cols]
+    )
+    for col, kind in col_plans:
+        if kind == "array":
+            tok_expr = F.col(col)
+        elif kind == "dutch":
+            from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
+
+            tok_expr = tokenize_dutch_udf(F.col(col))
+        else:
+            tok_expr = tokenize_expr(F.col(col))
+        toks = df.select(doc, tok_expr.alias("tokens"))
+        occ_parts.append(
+            toks.select(
+                "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
+            )
+            .filter(F.col("term").isNotNull())
+            .select(
+                F.lit(col).alias("field"), "term", "doc_id",
+                F.col("pos").cast("int").alias("pos"),
+            )
+        )
+        length_parts.append(
+            toks.select(
+                F.lit(col).alias("field"),
+                "doc_id",
+                F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl"),
+            )
+        )
+    for col in keyword_cols:
+        occ_parts.append(
+            df.filter(F.col(col).isNotNull()).select(
+                F.lit(col).alias("field"),
+                F.col(col).cast("string").alias("term"),
+                doc,
+                F.lit(0).cast("int").alias("pos"),
+            )
+        )
+        length_parts.append(
+            df.filter(F.col(col).isNotNull()).select(
+                F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
+            )
+        )
+    if not occ_parts:
+        raise ValueError("at least one text or keyword column required")
+    occurrences = occ_parts[0]
+    for p in occ_parts[1:]:
+        occurrences = occurrences.unionByName(p)
+    field_lengths = length_parts[0]
+    for p in length_parts[1:]:
+        field_lengths = field_lengths.unionByName(p)
+    field_lengths = field_lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl")))
+    return occurrences, field_lengths
+
+
 @dataclass
 class FieldStats:
     n_docs: int

@@ -148,18 +148,17 @@ def build_index_store(
     build is logically identical to an uninterrupted one (tested)."""
     import shutil
 
-    from meresco_lucene_spark.index.builder import posting_frames
+    from meresco_lucene_spark.index.builder import occurrence_frames
 
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    postings_lazy, lengths_lazy = posting_frames(
+    occurrences_lazy, lengths_lazy = occurrence_frames(
         df,
         id_col=id_col,
         text_cols=text_cols,
         keyword_cols=keyword_cols,
         array_cols=array_cols,
         dutch_cols=dutch_cols,
-        positions=True,
     )
     forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
     flat_dir = os.path.join(out_dir, "_flat_postings")
@@ -171,10 +170,13 @@ def build_index_store(
 
     ok = False
     try:
-        # ONE tokenize+groupBy pass lands the flat postings on disk; every
-        # later stage reads them back instead of recomputing or caching.
+        # ONE tokenize+explode pass lands raw OCCURRENCE rows (field, term,
+        # doc_id, pos) on disk — no aggregation at all between tokenize and
+        # the shard encode (tf + position lists are derived vectorized
+        # inside the whole-shard numpy encode, which sorts anyway); every
+        # later stage reads the parquet back instead of recomputing.
         if not _stage_done(flat_dir):
-            postings_lazy.write.mode("overwrite").parquet(flat_dir)
+            occurrences_lazy.write.mode("overwrite").parquet(flat_dir)
         flat_postings = spark.read.parquet(flat_dir)
 
         if not _stage_done(os.path.join(out_dir, "forward")):
@@ -190,8 +192,8 @@ def build_index_store(
         tstats = (
             flat_postings.groupBy("field", "term")
             .agg(
-                F.count("*").cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+                F.count("*").cast("long").alias("cf"),
             )
             .withColumn(
                 "base_shard",
@@ -273,9 +275,11 @@ def build_index_store(
         }
 
         def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            # Whole-shard numpy passes (same shape as segments.py:_encode):
-            # block boundaries, delta gaps, scores and the FOUR varint
-            # streams (doc/tf/dl/pos) computed vectorized; per-block
+            # Whole-shard numpy passes: the input is RAW OCCURRENCE rows
+            # (field, term, doc_id, pos); postings (tf + sorted position
+            # lists) are derived here by one lexsort + run-length pass,
+            # then block boundaries, delta gaps, scores and the FOUR
+            # varint streams (doc/tf/dl/pos) exactly as before. Per-block
             # Python is only the final byte-slice.
             shard = int(key[0])
             cols = [
@@ -283,23 +287,42 @@ def build_index_store(
                 "max_doc", "block_max_score", "doc_bytes", "tf_bytes",
                 "dl_bytes", "pos_bytes",
             ]
-            n = len(pdf)
-            if n == 0:
+            n_occ = len(pdf)
+            if n_occ == 0:
                 return pd.DataFrame(columns=cols)
             order = np.lexsort(
                 (
+                    pdf["pos"].to_numpy(),
                     pdf["doc_id"].to_numpy(),
                     pdf["term"].to_numpy(dtype=object),
                     pdf["field"].to_numpy(dtype=object),
                 )
             )
-            fields = pdf["field"].to_numpy(dtype=object)[order]
-            terms = pdf["term"].to_numpy(dtype=object)[order]
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-            dls = pdf["_dl"].to_numpy(dtype=np.int64)[order]
-            dfs = pdf["df"].to_numpy(dtype=np.float64)[order]
-            pos_lists = pdf["positions"].to_numpy(dtype=object)[order]
+            fields_o = pdf["field"].to_numpy(dtype=object)[order]
+            terms_o = pdf["term"].to_numpy(dtype=object)[order]
+            docs_o = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+            pos_o = pdf["pos"].to_numpy(dtype=np.int64)[order]
+            dls_o = pdf["_dl"].to_numpy(dtype=np.int64)[order]
+            dfs_o = pdf["df"].to_numpy(dtype=np.float64)[order]
+
+            # posting boundaries: change of (field, term, doc)
+            p_start = np.empty(n_occ, dtype=bool)
+            p_start[0] = True
+            p_start[1:] = (
+                (terms_o[1:] != terms_o[:-1])
+                | (fields_o[1:] != fields_o[:-1])
+                | (docs_o[1:] != docs_o[:-1])
+            )
+            p_idx = np.flatnonzero(p_start)
+            p_end = np.append(p_idx[1:], n_occ)
+            n = len(p_idx)
+            fields = fields_o[p_idx]
+            terms = terms_o[p_idx]
+            doc_ids = docs_o[p_idx]
+            tfs = (p_end - p_idx).astype(np.int64)
+            dls = dls_o[p_idx]
+            dfs = dfs_o[p_idx]
+            pos_lists = np.split(pos_o, p_idx[1:])
 
             run_start = np.empty(n, dtype=bool)
             run_start[0] = True
@@ -338,14 +361,10 @@ def build_index_store(
                     for a, e in zip(offs[block_starts], offs[block_ends])
                 ]
             # positions: per-value sizes -> per-posting spans -> block spans
+            # (posting i's positions occupy occurrence slots [p_idx[i],
+            # p_end[i]) of the sorted stream, so val_starts = p_idx)
             pos_buf, pos_sizes = encode_positions(pos_lists)
-            plens = np.fromiter(
-                (len(p) if p is not None else 0 for p in pos_lists),
-                dtype=np.int64,
-                count=n,
-            )
-            val_starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(plens, out=val_starts[1:])
+            val_starts = np.append(p_idx, n_occ)
             byte_offs = np.zeros(len(pos_sizes) + 1, dtype=np.int64)
             np.cumsum(pos_sizes, out=byte_offs[1:])
             posting_byte_offs = byte_offs[val_starts]
