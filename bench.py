@@ -51,37 +51,80 @@ def timed(fn) -> tuple[float, object]:
 
 
 def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
-    from pyspark.sql import functions as F
+    """Interleaved best-of-N suite (VERDICT r2 #8): this sandbox's CPU
+    delivery is bursty (2-4× run-to-run), so a single-run record can
+    misstate the engine by 2×. Builds run MLS_BENCH_BUILD_REPEATS passes
+    (default 2) and queries MLS_BENCH_REPEATS passes (default 3),
+    interleaved pass-wise so one noisy-neighbor window can't hit every
+    repeat of the same entry; `queries` carries the per-entry BEST and
+    `runs` the full spread, so readers can see the noise."""
+    import shutil
+    import tempfile
 
     from meresco_lucene_spark import entry_queries
     from meresco_lucene_spark.corpus import synthesize_corpus
     from meresco_lucene_spark.index.builder import InvertedIndex
     from meresco_lucene_spark.index.segments import build_segments
-    from meresco_lucene_spark.query.executor import hits
-    from meresco_lucene_spark.query.ir import Q
+    from meresco_lucene_spark.index.store import build_index_store
 
-    queries: dict[str, float] = {}
+    q_rep = int(os.environ.get("MLS_BENCH_REPEATS", "3"))
+    b_rep = int(os.environ.get("MLS_BENCH_BUILD_REPEATS", "2"))
+    runs: dict[str, list[float]] = {}
 
-    # --- 1. DataFrame index build over the documents table ---------------
+    def rec(name: str, t: float) -> None:
+        runs.setdefault(name, []).append(round(t, 3))
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    def _build_and_materialize():
-        ix = InvertedIndex.build(
-            docs,
-            id_col="doc_id",
-            text_cols=["text"],
-            keyword_cols=["lang", "source"],
-            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+    corpus = synthesize_corpus(spark, n_corpus, seed=42).persist()
+    corpus.count()
+    seg_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_seg_{os.getpid()}")
+    store_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_store_{os.getpid()}")
+
+    # --- builds, interleaved passes --------------------------------------
+    idx = seg = None
+    for _ in range(b_rep):
+        def _build_and_materialize():
+            ix = InvertedIndex.build(
+                docs,
+                id_col="doc_id",
+                text_cols=["text"],
+                keyword_cols=["lang", "source"],
+                facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+            )
+            ix.postings.count()  # materialize the cache inside the timing
+            return ix
+
+        if idx is not None:
+            idx.unpersist()
+        t, idx = timed(_build_and_materialize)
+        rec("index_build_documents", t)
+
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        t, seg = timed(
+            lambda: build_segments(corpus, seg_dir, n_shards=32, salt_buckets=8)
         )
-        ix.postings.count()  # materialize the cache inside the timing
-        return ix
+        rec("segment_build_corpus", t)
 
-    t, idx = timed(_build_and_materialize)
-    queries["index_build_documents"] = round(t, 3)
-    df_index_docs_per_sec = n_docs / t
+        # the 100 TB path: tokenize exactly once at build; store queries
+        # below reopen the handle over parquet — zero session-cached state
+        shutil.rmtree(store_dir, ignore_errors=True)
+        t, _ = timed(
+            lambda: build_index_store(
+                docs,
+                store_dir,
+                id_col="doc_id",
+                text_cols=["text"],
+                keyword_cols=["lang", "source"],
+                facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
+            )
+        )
+        rec("store_build_documents", t)
+
     entry_queries._INDEX_CACHE[(id(spark), sf_dir)] = idx
+    entry_queries._STORE_CACHE[(id(spark), sf_dir)] = store_dir
 
-    # --- 2. headline queries over that index -----------------------------
+    # --- queries, interleaved passes -------------------------------------
     heads = [
         "term_bm25_top10",
         "bool_must_top10",
@@ -92,81 +135,50 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
         "prefix_search_terms",
         "similar_documents",
     ]
-    for name in heads:
-        fn = entry_queries.QUERIES[name]
-        t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
-        queries[name] = round(t, 3)
-
-    # --- 3. segment build over the synthetic source-code corpus ----------
-    import shutil
-    import tempfile
-
-    seg_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_seg_{os.getpid()}")
-    shutil.rmtree(seg_dir, ignore_errors=True)
-    corpus = synthesize_corpus(spark, n_corpus, seed=42).persist()
-    corpus.count()
-    t, seg = timed(
-        lambda: build_segments(
-            corpus, seg_dir, n_shards=32, salt_buckets=8
-        )
-    )
-    queries["segment_build_corpus"] = round(t, 3)
-    seg_docs_per_sec = n_corpus / t
-
-    t, _ = timed(lambda: seg.term_topk("import", 10).collect())
-    queries["wand_term_top10"] = round(t, 3)
-    t, _ = timed(lambda: seg.term_topk("struct", 10).collect())
-    queries["wand_term_top10_mid"] = round(t, 3)
-    t, _ = timed(lambda: seg.or_topk(["import", "struct"], 10).collect())
-    queries["wand_or_top10"] = round(t, 3)
-    t, _ = timed(lambda: seg.and_topk(["import", "return"], 10).collect())
-    queries["wand_and_top10"] = round(t, 3)
+    store_heads = [
+        "seg_term_bm25_top10",
+        "seg_bool_must_top10",
+        "seg_phrase_match",
+        "seg_facet_lang",
+    ]
+    for _ in range(q_rep):
+        for name in heads:
+            fn = entry_queries.QUERIES[name]
+            t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
+            rec(name, t)
+        t, _ = timed(lambda: seg.term_topk("import", 10).collect())
+        rec("wand_term_top10", t)
+        t, _ = timed(lambda: seg.term_topk("struct", 10).collect())
+        rec("wand_term_top10_mid", t)
+        t, _ = timed(lambda: seg.or_topk(["import", "struct"], 10).collect())
+        rec("wand_or_top10", t)
+        t, _ = timed(lambda: seg.and_topk(["import", "return"], 10).collect())
+        rec("wand_and_top10", t)
+        for name in store_heads:
+            fn = entry_queries.QUERIES[name]
+            t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
+            rec(f"store_{name[4:]}", t)
 
     corpus.unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)
-
-    # --- 4. persistent store: build once, REOPEN from disk, query --------
-    # (the 100 TB path: tokenize exactly once at build; every query below
-    # opens a fresh handle over parquet — zero session-cached state)
-    from meresco_lucene_spark.index.store import build_index_store
-
-    store_dir = os.path.join(tempfile.gettempdir(), f"mls_bench_store_{os.getpid()}")
-    shutil.rmtree(store_dir, ignore_errors=True)
-    t, _ = timed(
-        lambda: build_index_store(
-            docs,
-            store_dir,
-            id_col="doc_id",
-            text_cols=["text"],
-            keyword_cols=["lang", "source"],
-            facet_fields={"lang": ["lang"], "langsrc": ["lang", "source"]},
-        )
-    )
-    queries["store_build_documents"] = round(t, 3)
-    store_docs_per_sec = n_docs / t
-
-    from meresco_lucene_spark import entry_queries as eq
-
-    eq._STORE_CACHE[(id(spark), sf_dir)] = store_dir
-    for name in ("seg_term_bm25_top10", "seg_bool_must_top10",
-                 "seg_phrase_match", "seg_facet_lang"):
-        fn = eq.QUERIES[name]
-        t, _ = timed(lambda fn=fn: fn(spark, sf_dir).collect())
-        queries[f"store_{name[4:]}"] = round(t, 3)
     shutil.rmtree(store_dir, ignore_errors=True)
 
+    queries = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(queries.values()), 3)
     return {
         "metric": "index_build_plus_query_suite",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "runs": runs,
+        "repeats": {"build": b_rep, "query": q_rep},
+        "timing": "per-entry best of interleaved passes (bursty-host hygiene)",
         "sf": _sf_of(sf_dir),
         "n_documents": n_docs,
         "n_corpus": n_corpus,
-        "index_docs_per_sec": round(df_index_docs_per_sec, 1),
-        "segment_docs_per_sec": round(seg_docs_per_sec, 1),
-        "store_docs_per_sec": round(store_docs_per_sec, 1),
+        "index_docs_per_sec": round(n_docs / queries["index_build_documents"], 1),
+        "segment_docs_per_sec": round(n_corpus / queries["segment_build_corpus"], 1),
+        "store_docs_per_sec": round(n_docs / queries["store_build_documents"], 1),
     }
 
 
