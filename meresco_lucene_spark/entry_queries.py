@@ -403,6 +403,58 @@ def _composed_cores(spark: SparkSession, sf_dir: str) -> dict:
     return _COMPOSED_CACHE[key]
 
 
+_COMPOSED_STORE_CACHE: dict[tuple[int, str], dict[str, str]] = {}
+
+
+def _composed_store_cores(spark: SparkSession, sf_dir: str):
+    """The seg_cq_* entries' cores: persistent multi-core stores built
+    ONCE per sf_dir, then REOPENED from disk on every query (fresh
+    PersistentIndex handles — no session-cached DataFrames). Reference
+    contract: MultiLucene.java:100-193 serves composed queries from
+    durable committed per-core indexes."""
+    from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPOSED_STORE_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+            "c_custkey", "doc_id"
+        ).withColumn("c_custkey", F.col("doc_id"))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+            "o_orderkey", "doc_id"
+        )
+        paths: dict[str, str] = {}
+        specs = {
+            "customers": (
+                cust,
+                dict(
+                    keyword_cols=["c_mktsegment"],
+                    facet_fields={"cat_segment": ["c_mktsegment"]},
+                ),
+            ),
+            "orders": (
+                orders,
+                dict(
+                    keyword_cols=["o_orderstatus", "o_orderpriority"],
+                    facet_fields={"cat_priority": ["o_orderpriority"]},
+                ),
+            ),
+        }
+        for name, (df, spec) in specs.items():
+            path = tempfile.mkdtemp(prefix=f"mls_cqstore_{name}_")
+            build_index_store(df, path, id_col="doc_id", **spec)
+            paths[name] = path
+        _COMPOSED_STORE_CACHE[key] = paths
+    return {
+        name: PersistentIndex(spark, p)
+        for name, p in _COMPOSED_STORE_CACHE[key].items()
+    }
+
+
 def _cq(result_from: str) -> "ComposedQuery":
     from meresco_lucene_spark.compose.composedquery import ComposedQuery
 
@@ -411,13 +463,13 @@ def _cq(result_from: str) -> "ComposedQuery":
     return cq
 
 
-def q_cq_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_join_semi(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J2 multi-core filter join: customers having a 1-URGENT order
     (other-core key collection -> broadcast semi-join)."""
     from meresco_lucene_spark.compose.composedquery import collect_keys
     from meresco_lucene_spark.query.executor import scored_hits_df
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     keys = collect_keys(
         cores["orders"], Q.term("o_orderpriority", "1-URGENT"), "o_custkey"
     )
@@ -427,12 +479,12 @@ def q_cq_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
 
 
-def q_cq_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_join_anti(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J3 exclude-filter join: customers with NO 1-URGENT order."""
     from meresco_lucene_spark.compose.composedquery import collect_keys
     from meresco_lucene_spark.query.executor import scored_hits_df
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     keys = collect_keys(
         cores["orders"], Q.term("o_orderpriority", "1-URGENT"), "o_custkey"
     )
@@ -442,13 +494,13 @@ def q_cq_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
 
 
-def q_cq_unite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_unite(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J4 unite: customers in BUILDING segment OR having an F-status
     order (union of two cores' key sets as one filter)."""
     from meresco_lucene_spark.compose.composedquery import collect_keys
     from meresco_lucene_spark.query.executor import scored_hits_df
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     ka = collect_keys(
         cores["customers"], Q.term("c_mktsegment", "BUILDING"), "c_custkey"
     )
@@ -460,13 +512,13 @@ def q_cq_unite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(F.col("doc_id").alias("c_custkey")).orderBy("c_custkey")
 
 
-def q_cq_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_rank_blend(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J5+C7/C8 rank query: customer relevance blended with the BM25
     score of their 1-URGENT orders:
     blended = (1-r)*own + r*(1 + max_other_score), r=0.5. Top-20."""
     from meresco_lucene_spark.query.executor import hits
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     rank_scores = (
         hits(cores["orders"], Q.term("o_orderpriority", "1-URGENT"))
         .join(
@@ -496,12 +548,12 @@ def q_cq_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cq_join_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_join_facet(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J6 join facets: order-priority facet over the orders core,
     restricted to keys of BUILDING-segment customers."""
     from meresco_lucene_spark.query.executor import facet_counts_df, hits
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     cust_keys = (
         cores["customers"].forward
         .join(
@@ -518,13 +570,13 @@ def q_cq_join_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts_df(cores["orders"], restricted, "cat_priority")
 
 
-def q_cq_relational_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cq_relational_not(spark: SparkSession, sf_dir: str, get_cores=_composed_cores) -> DataFrame:
     """J8 relational algebra: customers where NOT(BUILDING AND has
     P-status order) — lazily-inverted key set applied as anti-join."""
     from meresco_lucene_spark.compose.relational import RQ
     from meresco_lucene_spark.query.executor import scored_hits_df
 
-    cores = _composed_cores(spark, sf_dir)
+    cores = get_cores(spark, sf_dir)
     rq = RQ.not_(
         RQ.and_(
             RQ.lucene("customers", "c_custkey", Q.term("c_mktsegment", "BUILDING")),
@@ -538,13 +590,30 @@ def q_cq_relational_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ training-data pipeline ops
 
+def _with_planted(
+    df: DataFrame, plant_below: int, edit: str = ""
+) -> DataFrame:
+    """Deterministically plant (near-)duplicates: docs with
+    doc_id < plant_below are re-added at doc_id + 1_000_000, with `edit`
+    appended (empty edit = exact copy). The oracles replay the identical
+    planting in SQL, so the dedup entries verify non-empty results
+    instead of the trivially-passing 0 == 0 of the raw synthetic corpus
+    (VERDICT r2 next-round #4)."""
+    plant = df.filter(F.col("doc_id") < plant_below).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(edit)).alias("text"),
+    )
+    return df.select("doc_id", "text").unionByName(plant)
+
+
 def q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by sha256(text) (empty result is valid — the
-    synthetic corpus may have no exact dups; the oracle agrees)."""
+    """Exact dedup groups by sha256(text), over the corpus plus 10
+    planted exact copies (the raw synthetic corpus has none)."""
     from meresco_lucene_spark.extras.dedup import exact_duplicate_groups
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicate_groups(df, "doc_id", "text").select(
+    corpus = _with_planted(df, plant_below=10)
+    return exact_duplicate_groups(corpus, "doc_id", "text").select(
         "content_hash", "n_docs", "keep_id"
     ).orderBy("content_hash")
 
@@ -560,27 +629,35 @@ def q_dd_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard pairs (threshold 0.15) among doc_id < 60."""
+    """Exact 5-gram Jaccard pairs (threshold 0.15) among doc_id < 60
+    plus 6 planted near-copies (tiny tail edit -> jaccard ~0.9)."""
     from meresco_lucene_spark.extras.dedup import ngram_jaccard_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 60
     )
-    return ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.15).orderBy(
+    corpus = _with_planted(df, plant_below=6, edit=" zzq zzr zzs")
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.15).orderBy(
         "id_a", "id_b"
     )
 
 
 def q_dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline (no SQL oracle — verified in pytest
-    against exact Jaccard; driver records rows-only)."""
+    """MinHash+LSH near-dup pipeline over doc_id < 120 plus 8 planted
+    near-copies. NOW ORACLE-CHECKED: the verify stage computes EXACT
+    5-gram Jaccard on LSH candidates, and at jaccard ~0.9 the 16x4
+    band scheme's miss probability is ~4e-8 (and deterministic with the
+    seeded hash family), so the output equals the exact-Jaccard pair set
+    >= threshold — which IS SQL-expressible (same oracle shape as
+    dd_ngram_jaccard)."""
     from meresco_lucene_spark.extras.dedup import minhash_near_duplicates
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 120
     )
+    corpus = _with_planted(df, plant_below=8, edit=" zzq zzr zzs")
     return minhash_near_duplicates(
-        df, "doc_id", "text", n=5, n_hashes=64, bands=16, threshold=0.3
+        corpus, "doc_id", "text", n=5, n_hashes=64, bands=16, threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
@@ -768,6 +845,43 @@ QUERIES.update(
     }
 )
 
+# seg_cq_* entries: composed multi-core queries served from persistent
+# on-disk stores (one durable store per core, reopened per query) —
+# MultiLucene.java:100-193's durable-index contract, driver-gated.
+_SEG_CQ_BASE = {
+    "seg_cq_join_semi": q_cq_join_semi,
+    "seg_cq_join_anti": q_cq_join_anti,
+    "seg_cq_unite": q_cq_unite,
+    "seg_cq_rank_blend": q_cq_rank_blend,
+    "seg_cq_join_facet": q_cq_join_facet,
+    "seg_cq_relational_not": q_cq_relational_not,
+}
+QUERIES.update(
+    {
+        name: _functools.partial(fn, get_cores=_composed_store_cores)
+        for name, fn in _SEG_CQ_BASE.items()
+    }
+)
+
+
+def _with_shipping(fn):
+    """Every driver entry must work when it is the FIRST (or only) call
+    of a consumer session: operators whose hot path is a pandas UDF
+    (dedup shingles, minhash, simhash, suggest) need the package on the
+    executors' PYTHONPATH. ensure_shipped is idempotent per
+    SparkContext, so wrapping every entry costs one set lookup."""
+
+    def wrapper(spark, sf_dir, _fn=fn):
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return _fn(spark, sf_dir)
+
+    return wrapper
+
+
+QUERIES = {name: _with_shipping(fn) for name, fn in QUERIES.items()}
+
 
 # -------------------------------------------------------------- oracle SQL
 
@@ -865,8 +979,13 @@ WHERE c_custkey NOT IN (
 ORDER BY c_custkey
 """,
     "dd_exact": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+)
 SELECT sha256(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 """,
     "dd_prefix_fingerprint": """
 WITH tk AS (
@@ -879,9 +998,13 @@ SELECT sha256(array_to_string(t[1:4], ' ')) AS prefix_hash,
 FROM tk GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 """,
     "dd_ngram_jaccard": """
-WITH tk AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzq zzr zzs' FROM documents WHERE doc_id < 6
+), tk AS (
   SELECT doc_id, regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+') AS t
-  FROM documents WHERE doc_id < 60
+  FROM corpus
 ), sh AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
@@ -898,6 +1021,35 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.15
+ORDER BY id_a, id_b
+""",
+    # dd_minhash_lsh: exact-Jaccard verify on deterministic LSH candidates;
+    # at planted jaccard ~0.9 recall is 1 for this seeded hash family, so
+    # the pipeline output equals the exact pair set (see q_dd_minhash_lsh).
+    "dd_minhash_lsh": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzq zzr zzs' FROM documents WHERE doc_id < 8
+), tk AS (
+  SELECT doc_id, regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+') AS t
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                          i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM tk
+), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
 ORDER BY id_a, id_b
 """,
     "ann_cosine_top10": """
@@ -1110,5 +1262,5 @@ ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
 
 # seg_* entries share the base oracles: the persistent-store path must
 # produce byte-identical results to the DataFrame path.
-for _seg_name in _SEG_BASE:
+for _seg_name in list(_SEG_BASE) + list(_SEG_CQ_BASE):
     ORACLES[_seg_name] = ORACLES[_seg_name[len("seg_"):]]

@@ -39,18 +39,35 @@ def _hash64(s: pd.Series) -> np.ndarray:
     )
 
 
-def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, max_ids: int = 100
+) -> DataFrame:
     """Exact dedup: sha256(text) groups with >1 member.
-    Returns (content_hash, n_docs, keep_id=min id, doc_ids sorted)."""
+    Returns (content_hash, n_docs, keep_id=min id, doc_ids sorted).
+
+    doc_ids is CAPPED at max_ids per group: a pathological duplicate
+    group (boilerplate duplicated billions of times) must not
+    materialize an unbounded array in one row — n_docs still carries the
+    true count, keep_id the survivor. The cap is applied BEFORE the
+    collect (rank over the same shuffle key), so the aggregation buffer
+    itself is bounded, not just the output row."""
+    from pyspark.sql.window import Window
+
     h = df.select(
         F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash")
     )
+    ranked = h.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")),
+    )
     return (
-        h.groupBy("content_hash")
+        ranked.groupBy("content_hash")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").alias("keep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("doc_id")))
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
