@@ -125,7 +125,7 @@ def build_index_store(
     quantized: bool = False,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
-    n_shards: int = 32,
+    n_shards: int | None = None,
     salt_buckets: int = 8,
     block_size: int = 128,
     hot_df_fraction: float = 0.05,
@@ -188,6 +188,18 @@ def build_index_store(
                 os.path.join(out_dir, "field_lengths")
             )
         n_docs = spark.read.parquet(os.path.join(out_dir, "forward")).count()
+        # Auto-shard from the materialized occurrence count so one
+        # shard's encode frame fits the per-task budget (a metadata-cheap
+        # count over the parquet intermediate; pure function of the
+        # corpus, so resume re-derives the same value). Explicit
+        # n_shards overrides.
+        if n_shards is None:
+            from meresco_lucene_spark.index.segments import auto_n_shards
+
+            n_shards = auto_n_shards(
+                flat_postings.count(), spark.sparkContext.defaultParallelism
+            )
+        salt_buckets = min(salt_buckets, n_shards)
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
         tstats = (
             flat_postings.groupBy("field", "term")

@@ -253,3 +253,35 @@ def test_resume_noop_when_complete(spark, tmp_path):
     assert _logical_content(spark, d) == golden
     lin = spark.read.parquet(os.path.join(d, "lineage"))
     assert {r["run_id"] for r in lin.collect()} == {"orig"}
+
+
+def test_auto_n_shards_bounds():
+    """Memory bound: occurrences/n_shards * OCC_ROW_BYTES <= target
+    whenever the 65536 cap doesn't bind; floor keeps small corpora on
+    all cores."""
+    from meresco_lucene_spark.index.segments import (
+        ENCODE_TARGET_BYTES,
+        OCC_ROW_BYTES,
+        auto_n_shards,
+    )
+
+    assert auto_n_shards(1_000, floor=8) == 8
+    for occ in (10**7, 10**9, 10**11):
+        n = auto_n_shards(occ, floor=8)
+        if n < 65536:
+            assert occ / n * OCC_ROW_BYTES <= ENCODE_TARGET_BYTES
+    assert auto_n_shards(10**13, floor=8) == 65536
+
+
+def test_auto_sharded_build_queries_identically(spark, tmp_path):
+    """n_shards=None derives the shard count; results match an explicit
+    build and meta records the derived value."""
+    corpus = synthesize_corpus(spark, 60, seed=3, partitions=4)
+    a = build_segments(corpus, str(tmp_path / "auto"))
+    b = build_segments(
+        corpus, str(tmp_path / "fixed"), n_shards=4, salt_buckets=2, block_size=16
+    )
+    assert a.meta["n_shards"] == spark.sparkContext.defaultParallelism
+    ra = [(r.doc_id, round(r.score, 9)) for r in a.term_topk("import", 10).collect()]
+    rb = [(r.doc_id, round(r.score, 9)) for r in b.term_topk("import", 10).collect()]
+    assert ra == rb
