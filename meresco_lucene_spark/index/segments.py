@@ -13,7 +13,7 @@ Layout under ``out_dir``:
                (term, block_id, doc_count, min_doc, max_doc,
                 block_max_score, doc_bytes, tf_bytes, dl_bytes)
   lineage/     (shard, n_terms, n_blocks, n_postings, bytes,
-                content_sha256, run_id)
+                content_xxh64_sum, run_id)
   meta.json    {n_docs, sum_dl, avgdl, n_shards, salt_buckets, k1, b,
                 block_size, hot_df_fraction, quantized}
 
@@ -27,7 +27,7 @@ source file). Queries fan back in by reading the n_salts shards recorded
 in term_stats — the query side never recomputes the hash.
 
 Resume: each fully-written shard appends a lineage row whose
-content_sha256 covers the shard's decoded logical content. On resume,
+content_xxh64_sum covers the shard's decoded logical content. On resume,
 shards present in lineage are skipped; shard partition dirs without a
 lineage row (crash mid-write) are deleted and rebuilt. Blocks are a pure
 function of the (term-sorted, doc-sorted) postings, so a resumed build
@@ -456,8 +456,10 @@ def build_segments(
         _mark("stage3-encode-write")
 
         # lineage: one row per completed shard; the content hash is an
-        # order-independent bit_xor of per-block xxhash64 (cheap at any
-        # scale — no collect_list/concat of millions of block hashes)
+        # an order-independent modular SUM of per-block xxhash64 values
+        # (cheap at any scale — no collect_list/concat of millions of
+        # block hashes; a SUM, unlike XOR, does not cancel duplicated
+        # or dropped-in-pairs blocks)
         written = spark.read.parquet(post_dir).filter(F.col("shard").isin(remaining))
         lineage = (
             written.withColumn(
@@ -478,7 +480,9 @@ def build_segments(
                 (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
                 .cast("long")
                 .alias("bytes"),
-                F.expr("bit_xor(_h)").cast("string").alias("content_sha256"),
+                F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(2147483647))), F.lit(2147483647))
+                .cast("string")
+                .alias("content_xxh64_sum"),
                 F.lit(run_id).alias("run_id"),
             )
         )

@@ -411,7 +411,8 @@ def build_index_store(
             )
             encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
             # lineage: one row per completed shard; content hash is an
-            # order-independent bit_xor of per-block xxhash64
+            # order-independent modular SUM of per-block xxhash64 (a
+            # SUM, unlike XOR, does not cancel duplicated blocks)
             written = spark.read.parquet(post_dir).filter(
                 F.col("shard").isin(remaining)
             )
@@ -436,7 +437,9 @@ def build_index_store(
                     (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
                     .cast("long")
                     .alias("bytes"),
-                    F.expr("bit_xor(_h)").cast("string").alias("content_sha256"),
+                    F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(2147483647))), F.lit(2147483647))
+                .cast("string")
+                .alias("content_xxh64_sum"),
                     F.lit(run_id).alias("run_id"),
                 )
             )

@@ -37,6 +37,11 @@ class KeyValueStore:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._buffer: dict[str, object] = {}
+        # committed-frame cache, invalidated whenever the epoch set
+        # changes (commit/compact): point reads (`kv[key]`) hit a
+        # persisted frame instead of re-scanning every epoch per lookup.
+        self._cache_key: tuple[int, ...] | None = None
+        self._cache_df = None
 
     # ------------------------------------------------------------- dict API
     def __setitem__(self, key, value) -> None:
@@ -70,7 +75,11 @@ class KeyValueStore:
 
     # ----------------------------------------------------------- durability
     def commit(self) -> None:
-        """One commit = one parquet epoch of the buffered mutations."""
+        """One commit = one durable parquet epoch of the buffered
+        mutations. Crash-atomic: the epoch is written to a temp dir
+        (invisible to the epoch=* readers) and os.rename'd into place —
+        a crash mid-write leaves only the temp dir, never a partial
+        epoch; _epochs() additionally skips dirs without _SUCCESS."""
         if not self._buffer:
             return
         epoch = self._next_epoch()
@@ -78,13 +87,39 @@ class KeyValueStore:
             (k, None if v is _DELETED else v) for k, v in self._buffer.items()
         ]
         df = self.spark.createDataFrame(rows, "key string, value string")
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"epoch={epoch}")
-        )
+        tmp = os.path.join(self.path, f"_tmp_epoch_{epoch}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.path, f"epoch={epoch}"))
         self._buffer.clear()
+        self._invalidate()
+
+    def compact(self) -> None:
+        """Fold all committed epochs into one — the TieredMergePolicy
+        analog (reference LuceneSettings.java:157-160). Crash-safe
+        ordering: the full committed state (including deletion
+        tombstones, which must keep masking the epochs about to be
+        removed) is first written as a NEW newest epoch via the atomic
+        temp-dir rename, then the older epochs are deleted — a crash
+        between the two steps leaves a larger but consistent store.
+        After compaction, reads touch exactly one epoch."""
+        import shutil
+
+        eps = self._epochs()
+        if len(eps) <= 1:
+            return
+        new_epoch = eps[-1] + 1
+        tmp = os.path.join(self.path, f"_tmp_epoch_{new_epoch}")
+        # distributed write straight from the committed frame (incl.
+        # tombstones) — no driver-side materialization of the key set
+        self._committed().write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.path, f"epoch={new_epoch}"))
+        for e in eps:
+            shutil.rmtree(os.path.join(self.path, f"epoch={e}"))
+        self._invalidate()
 
     def close(self) -> None:
         self.commit()
+        self._invalidate()
 
     # -------------------------------------------------------------- queries
     def _epochs(self) -> list[int]:
@@ -92,25 +127,43 @@ class KeyValueStore:
             int(e.split("=", 1)[1])
             for e in os.listdir(self.path)
             if e.startswith("epoch=")
+            and os.path.exists(os.path.join(self.path, e, "_SUCCESS"))
         )
 
     def _next_epoch(self) -> int:
         eps = self._epochs()
         return (eps[-1] + 1) if eps else 0
 
+    def _invalidate(self) -> None:
+        if self._cache_df is not None:
+            self._cache_df.unpersist()
+        self._cache_key = None
+        self._cache_df = None
+
     def _committed(self):
-        """Newest committed row per key (None value = deleted)."""
-        if not self._epochs():
+        """Newest committed row per key (None value = deleted). The
+        result is persisted and reused until the epoch set changes, so
+        the reference's many-small-gets pattern doesn't re-scan every
+        epoch per lookup."""
+        eps = tuple(self._epochs())
+        if not eps:
             return self.spark.createDataFrame([], "key string, value string")
+        if self._cache_key == eps and self._cache_df is not None:
+            return self._cache_df
+        self._invalidate()
         df = self.spark.read.option("basePath", self.path).parquet(
-            os.path.join(self.path, "epoch=*")
+            *(os.path.join(self.path, f"epoch={e}") for e in eps)
         )
         w = Window.partitionBy("key").orderBy(F.col("epoch").desc())
-        return (
+        out = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("key", "value")
+            .persist()
         )
+        self._cache_key = eps
+        self._cache_df = out
+        return out
 
     def items_df(self):
         """All live (key, value) pairs as a DataFrame — the capability the

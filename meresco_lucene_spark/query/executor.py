@@ -479,11 +479,16 @@ def search(
             .drop("_rn")
         )
 
-    total = h.count()
-    ordered = h.orderBy(*sort_exprs(sort_keys))
-    rows = ordered.limit(stop).collect()[start:stop]
-    if persisted is not None:
-        persisted.unpersist()
+    # the persist must not outlive this call even when the sort/collect
+    # raises — an un-released cached frame leaks executor memory for the
+    # session lifetime
+    try:
+        total = h.count()
+        ordered = h.orderBy(*sort_exprs(sort_keys))
+        rows = ordered.limit(stop).collect()[start:stop]
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     hits_out = []
     for r in rows:
         d = r.asDict()

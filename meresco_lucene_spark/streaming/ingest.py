@@ -79,37 +79,66 @@ class IngestSink:
         return len(rows)
 
     def _existing_epochs(self) -> list[int]:
+        """Committed epochs only: a dir without _SUCCESS is a crashed
+        half-written batch and must stay invisible to readers."""
         if not os.path.isdir(self.state_dir):
             return []
-        return [
+        return sorted(
             int(e.split("=", 1)[1])
             for e in os.listdir(self.state_dir)
             if e.startswith("epoch=")
-        ]
+            and os.path.exists(os.path.join(self.state_dir, e, "_SUCCESS"))
+        )
 
-    def current_state(self) -> DataFrame:
-        """Latest row per doc id across all committed epochs, minus
-        deletions — the reference's post-refresh index contents."""
+    def _latest_rows(self) -> DataFrame:
+        """Latest row per doc id across committed epochs, KEEPING deletion
+        tombstones (compact() needs them to go on masking the epochs it
+        is about to fold away)."""
+        eps = self._existing_epochs()
         df = (
             self.spark.read.option("basePath", self.state_dir)
             .option("mergeSchema", "true")  # tombstone epochs carry fewer cols
-            .parquet(os.path.join(self.state_dir, "epoch=*"))
+            .parquet(*(os.path.join(self.state_dir, f"epoch={e}") for e in eps))
         )
-        has_deleted = "_deleted" in df.columns
         order = [F.col("_epoch").desc()]
         if "_seq" in df.columns:  # optional intra-batch sequence
             order.append(F.col("_seq").desc())
         w = Window.partitionBy(self.id_col).orderBy(*order)
-        latest = (
+        return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_epoch")
         )
-        if has_deleted:
+
+    def current_state(self) -> DataFrame:
+        """Latest row per doc id across all committed epochs, minus
+        deletions — the reference's post-refresh index contents."""
+        latest = self._latest_rows()
+        if "_deleted" in latest.columns:
             latest = latest.filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             ).drop("_deleted")
         return latest
+
+    def compact(self) -> int:
+        """Fold all committed epochs into one — the reference's
+        TieredMergePolicy merge (LuceneSettings.java:157-160) restated
+        over epoch snapshots. Crash-safe ordering: the latest-per-id
+        state (tombstones included, so it keeps masking the old epochs
+        if we crash mid-way) is committed as a NEW newest epoch, then
+        the older epoch dirs are removed. Returns the number of epochs
+        folded. After compaction, reads touch exactly one epoch and
+        the per-read window shrinks to one row per id."""
+        import shutil
+
+        eps = self._existing_epochs()
+        if len(eps) <= 1:
+            return 0
+        new_epoch = max(eps) + 1
+        self.process_batch(self._latest_rows(), new_epoch)
+        for e in eps:
+            shutil.rmtree(os.path.join(self.state_dir, f"epoch={e}"))
+        return len(eps)
 
     def searchable_index(self, **build_kwargs) -> InvertedIndex:
         """Searcher refresh: a fresh InvertedIndex over current state."""

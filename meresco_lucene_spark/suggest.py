@@ -168,35 +168,71 @@ def build_suggestion_store(
     return open_suggestion_store(df.sparkSession, out_dir)
 
 
+def _resolve_store_dir(out_dir: str) -> str:
+    """Resolve the generation the CURRENT pointer names; a store without
+    a pointer (plain build_suggestion_store output) is its own root."""
+    import os
+
+    cur = os.path.join(out_dir, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return os.path.join(out_dir, f.read().strip())
+    return out_dir
+
+
 def open_suggestion_store(spark, out_dir: str) -> SuggestionIndex:
     import os
 
     from meresco_lucene_spark.index.store import PersistentIndex
 
+    d = _resolve_store_dir(out_dir)
     return SuggestionIndex(
-        index=PersistentIndex(spark, os.path.join(out_dir, "index")),
-        values=spark.read.parquet(os.path.join(out_dir, "values")),
+        index=PersistentIndex(spark, os.path.join(d, "index")),
+        values=spark.read.parquet(os.path.join(d, "values")),
     )
 
 
 def swap_suggestion_store(
-    df: DataFrame, value_col: str, live_dir: str, **kwargs
+    df: DataFrame,
+    value_col: str,
+    live_dir: str,
+    keep_generations: int = 1,
+    **kwargs,
 ) -> SuggestionIndex:
-    """G5 atomic rebuild-and-swap (SuggestionIndex.java:132-158): build
-    the new index into ``live_dir~``, rename the live dir aside, rename
-    the new one over it, delete the old — readers opened before the swap
-    keep their snapshot; new opens see the rebuilt index."""
+    """G5 atomic rebuild-and-swap (SuggestionIndex.java:132-158), with
+    generation directories instead of the reference's dir-rename dance:
+    Spark resolves parquet files by PATH at action time (there is no
+    Lucene-style open-file-handle survival after unlink), so deleting
+    the old dir right after a rename breaks every reader opened before
+    the swap, and between the two renames no live dir exists at all.
+
+    Here: build into ``live_dir/gen-(N+1)``, atomically flip the
+    ``CURRENT`` pointer file (os.replace), then garbage-collect
+    generations older than the ``keep_generations`` most recent below
+    the new one. New opens follow the pointer; readers holding the
+    previous generation keep a working on-disk snapshot until its
+    generation ages out of the grace window (keep_generations=0 = GC
+    immediately; concurrent readers then unsupported, as before)."""
     import os
     import shutil
 
-    tmp, old = live_dir + "~", live_dir + "~~"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    build_suggestion_store(df, value_col, tmp, **kwargs)
-    if os.path.exists(live_dir):
-        os.rename(live_dir, old)
-    os.rename(tmp, live_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(live_dir, exist_ok=True)
+    gens = sorted(
+        int(e.split("-", 1)[1])
+        for e in os.listdir(live_dir)
+        if e.startswith("gen-")
+    )
+    new_gen = (gens[-1] + 1) if gens else 0
+    build_suggestion_store(
+        df, value_col, os.path.join(live_dir, f"gen-{new_gen}"), **kwargs
+    )
+    tmp_ptr = os.path.join(live_dir, "CURRENT.tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(f"gen-{new_gen}")
+    os.replace(tmp_ptr, os.path.join(live_dir, "CURRENT"))
+    doomed = gens if keep_generations == 0 else gens[:-keep_generations]
+    for g in doomed:
+        shutil.rmtree(os.path.join(live_dir, f"gen-{g}"), ignore_errors=True)
     return open_suggestion_store(df.sparkSession, live_dir)
 
 

@@ -142,3 +142,37 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
 
     idx = sink.searchable_index(text_cols=["text"])
     assert {r["doc_id"] for r in hits(idx, Q.term("text", "gamma")).collect()} == {11, 12}
+
+
+def test_ingest_compact(spark, tmp_path):
+    """Epoch compaction: N commits fold into one epoch with identical
+    current_state (upserts applied, tombstoned ids gone)."""
+    import os
+
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string"), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame([(2, "b2"), (3, "c")], "doc_id long, text string"), 1
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, True)], "doc_id long, _deleted boolean"
+        ), 2
+    )
+    before = sorted(
+        map(tuple, sink.current_state().select("doc_id", "text").collect())
+    )
+    assert before == [(2, "b2"), (3, "c")]
+    folded = sink.compact()
+    assert folded == 3
+    assert sink._existing_epochs() == [3]
+    after = sorted(
+        map(tuple, sink.current_state().select("doc_id", "text").collect())
+    )
+    assert after == before
+    # reads after compact touch exactly one epoch dir
+    assert len(
+        [e for e in os.listdir(sink.state_dir) if e.startswith("epoch=")]
+    ) == 1

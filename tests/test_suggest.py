@@ -107,9 +107,37 @@ def test_suggestion_store_reopen_and_swap(spark, tmp_path):
     swap_suggestion_store(v2, "title", live, key_col="key")
     si2 = open_suggestion_store(spark, live)
     assert _suggestions(si2, "ha") == ["hazel", "harbor"]  # shorter ranks first
+
+
+def test_swap_generation_grace(spark, tmp_path):
+    """Generation-dir swap: a reader opened BEFORE the swap keeps a
+    working on-disk snapshot (parquet paths resolve at action time, so
+    the old generation must survive on disk); a second swap ages the
+    oldest generation out of the one-generation grace window."""
     import os
 
-    assert not os.path.exists(live + "~") and not os.path.exists(live + "~~")
+    from meresco_lucene_spark.suggest import (
+        open_suggestion_store,
+        swap_suggestion_store,
+    )
+
+    live = str(tmp_path / "sugg")
+    v1 = spark.createDataFrame(pd.DataFrame({"key": [1], "title": ["harry"]}))
+    swap_suggestion_store(v1, "title", live, key_col="key")
+    old_reader = open_suggestion_store(spark, live)
+
+    v2 = spark.createDataFrame(pd.DataFrame({"key": [2], "title": ["hazel"]}))
+    swap_suggestion_store(v2, "title", live, key_col="key")
+    # pointer flipped for new opens...
+    assert _suggestions(open_suggestion_store(spark, live), "ha") == ["hazel"]
+    # ...while the pre-swap handle still serves its snapshot
+    assert _suggestions(old_reader, "ha") == ["harry"]
+    assert sorted(os.listdir(live))[:2] == ["CURRENT", "gen-0"]
+
+    v3 = spark.createDataFrame(pd.DataFrame({"key": [3], "title": ["harbor"]}))
+    swap_suggestion_store(v3, "title", live, key_col="key")
+    gens = sorted(e for e in os.listdir(live) if e.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2"]  # gen-0 aged out of the grace window
 
 
 def test_ranking_shorter_value_wins(spark):
