@@ -673,6 +673,33 @@ def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over vec_id < 150 plus 8 planted
+    near-copies (each component +0.001 -> cosine ~0.99997 vs a real-pair
+    max of ~0.44 in this corpus). ORACLE-CHECKED: the verify stage is
+    exact cosine on LSH candidates, and at planted cosine ~1 the seeded
+    8-table x 8-bit hyperplane family's miss probability is ~1e-14, so
+    the output equals the exact all-pairs cosine >= 0.9 set — SQL-
+    expressible via list_cosine_similarity."""
+    from meresco_lucene_spark.extras.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    plant = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    corpus = base.unionByName(plant)
+    return embedding_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 against embedding of vec_id=0."""
     from meresco_lucene_spark.extras.ann import cosine_topk
@@ -714,6 +741,42 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ann_index_path(spark, sf_dir)
     out = lsh_index_topk(
         spark, path, emb.filter(F.col("vec_id") != 0), qvec, k=10
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+_IVF_INDEX_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.extras.ann import write_ivf_index
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="mls_ivf_")
+        write_ivf_index(emb, path, n_centroids=8, seed=11)
+        _IVF_INDEX_CACHE[key] = path
+    return _IVF_INDEX_CACHE[key]
+
+
+def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cosine top-10: probe the 4 (of 8) centroid
+    lists nearest vec_id 0's embedding over the write-time-materialized
+    index (partition-pruned scan, vectors stored in-list so no fetch
+    join). Rows-only by design: a partial probe is approximate on this
+    near-uniform corpus (weak top-10 tail scatters across lists);
+    full-probe identity with exact brute force, partial-probe recall
+    and PartitionFilters pruning are asserted in pytest."""
+    from meresco_lucene_spark.extras.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    path = _ivf_index_path(spark, sf_dir)
+    out = ivf_topk(
+        spark, path, qvec, k=10, nprobe=4, where=F.col("vec_id") != 0
     )
     return out.withColumn("cosine", F.round("cosine", 4))
 
@@ -788,8 +851,10 @@ QUERIES = {
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
     "dd_simhash": q_dd_simhash,
+    "dd_embedding_cosine": q_dd_embedding_cosine,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
+    "ann_ivf_top10": q_ann_ivf_top10,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -1052,6 +1117,24 @@ JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
 ORDER BY id_a, id_b
 """,
+    # dd_embedding_cosine: exact-cosine verify on deterministic hyperplane-
+    # LSH candidates; at planted cosine ~1 recall is 1 for the seeded
+    # family, so the output equals the exact pair set (see entry docstring).
+    "dd_embedding_cosine": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.001) FROM base
+  WHERE vec_id < 8
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+ORDER BY id_a, id_b
+""",
     "ann_cosine_top10": """
 SELECT vec_id,
   round(list_cosine_similarity(embedding::DOUBLE[],
@@ -1061,6 +1144,10 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[],
     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
 LIMIT 10
 """,
+    # ann_ivf_top10: rows-only by design — a partial (nprobe < n_lists)
+    # IVF probe is approximate on this near-uniform corpus (the weak
+    # tail of the top-10 scatters across lists); full-probe identity
+    # with exact brute force and partition pruning are pytest-asserted.
     "text_token_count": f"""
 SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,

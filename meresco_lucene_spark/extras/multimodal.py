@@ -60,31 +60,78 @@ def synthesize_media(spark, n_rows: int, seed: int = 5) -> DataFrame:
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+class MediaDecoder:
+    """Pluggable decode step — the injection point for production codecs.
+
+    Subclass and implement ``decode`` (bytes → numpy array: pixels for
+    images, samples for audio, stacked frames for video); the pipeline
+    around it (schema, Arrow batching, featurization, downstream joins)
+    never changes. Instances are pickled into the ``mapInPandas``
+    closure, so keep them stateless/picklable (open lazy handles inside
+    ``decode``, not in ``__init__``)."""
+
+    def decode(self, kind: str, mime: str | None, content: bytes) -> np.ndarray:
+        raise NotImplementedError
+
+
+class LibraryDecoder(MediaDecoder):
+    """STUB default for real decoding: requires PIL/opencv/ffmpeg, none of
+    which ship in this environment. Production wires them in a subclass
+    without touching any pipeline code."""
+
+    def decode(self, kind, mime, content):  # pragma: no cover - stub
+        raise NotImplementedError(
+            "real media decoding requires an imaging/audio library not "
+            "present in this environment; subclass MediaDecoder and wire "
+            "PIL/torchvision/ffmpeg here in production"
+        )
+
+
+class FakeDecoder(MediaDecoder):
+    """Pure-numpy deterministic fake decoder for tests: tiles the payload
+    bytes into an 8×8 float frame in [0,1]. Exercises the decoded-array
+    path end-to-end with zero external deps."""
+
+    side = 8
+
+    def decode(self, kind, mime, content):
+        arr = np.frombuffer(bytes(content), dtype=np.uint8)
+        n = self.side * self.side
+        return np.resize(arr, n).reshape(self.side, self.side).astype(np.float64) / 255.0
+
+
 def decode_image_real(content: bytes):  # pragma: no cover - stub
-    """STUB: real image decode requires PIL/opencv, absent here."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; wire PIL/torchvision here in production"
-    )
+    """STUB: real image decode requires PIL/opencv, absent here.
+    Kept for API compatibility; prefer LibraryDecoder."""
+    return LibraryDecoder().decode("image", None, content)
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decoder: MediaDecoder | None = None) -> DataFrame:
     """Feature-extraction plumbing over binary media.
 
-    Production would decode + run a vision/audio model per Arrow batch;
-    here the 'features' are a deterministic fake (sha256-seeded floats)
-    so schema, batching and downstream joins are fully exercised."""
+    With ``decoder=None`` (this environment's default) the 'features' are
+    a deterministic fake (sha256-seeded floats) so schema, batching and
+    downstream joins are fully exercised without any codec. With a
+    ``MediaDecoder``, each blob is decoded to an array and mean-pooled
+    into FEATURE_DIM buckets — production swaps in a real codec +
+    vision/audio model per Arrow batch via the decoder, pipeline
+    unchanged."""
 
     def per_batch(it):
         for pdf in it:
             feats = []
-            for blob in pdf["content"]:
+            for kind, mime, blob in zip(pdf["kind"], pdf["mime"], pdf["content"]):
                 if blob is None:
                     feats.append([0.0] * FEATURE_DIM)
                     continue
-                h = hashlib.sha256(bytes(blob)).digest()
-                arr = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16)
-                feats.append((arr.astype(np.float64) / 65535.0).tolist())
+                if decoder is None:
+                    h = hashlib.sha256(bytes(blob)).digest()
+                    arr = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16)
+                    feats.append((arr.astype(np.float64) / 65535.0).tolist())
+                else:
+                    decoded = decoder.decode(kind, mime, bytes(blob)).ravel()
+                    pooled = np.resize(decoded, FEATURE_DIM * max(1, len(decoded) // FEATURE_DIM))
+                    feats.append(pooled.reshape(FEATURE_DIM, -1).mean(axis=1).tolist())
             out = pdf[["media_id", "kind"]].copy()
             out["features"] = feats
             yield out

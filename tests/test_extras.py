@@ -62,6 +62,58 @@ def test_minhash_pipeline_no_false_positives(docs):
         assert r["jaccard"] >= 0.3
 
 
+def test_embedding_near_dup_recall_vs_exact(spark, emb):
+    """LSH-bucketed embedding near-dup must equal exact all-pairs cosine
+    >= threshold on a corpus with planted near-copies (near-identical
+    vectors agree on every hyperplane sign w.h.p.; threshold 0.9 sits
+    far above this corpus's real-pair max of ~0.44)."""
+    import numpy as np
+
+    base = emb.filter(F.col("vec_id") < 80).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    plant = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.001)).alias("v"),
+    )
+    corpus = base.unionByName(plant).persist()
+    rows = {r["vec_id"]: np.array(r["v"]) for r in corpus.collect()}
+    ids = sorted(rows)
+    exact = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = rows[a], rows[b]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if c >= 0.9:
+                exact.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(corpus, "vec_id", "v", threshold=0.9).collect()
+    }
+    assert got == exact and len(exact) == 5
+    # verified pairs carry the true cosine (verify is exact, not approximate)
+    for r in dedup.embedding_near_duplicates(corpus, "vec_id", "v", threshold=0.9).collect():
+        assert r["cosine"] >= 0.9
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """max_bucket drops pathological buckets: 50 identical zero-adjacent
+    vectors all land in the same buckets; with the cap no pair survives,
+    without it the quadratic bucket join would report all of them."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8).tolist()
+    pdf = pd.DataFrame({"vec_id": range(50), "v": [v] * 50})
+    df = spark.createDataFrame(pdf)
+    uncapped = dedup.embedding_near_duplicates(df, "vec_id", "v", threshold=0.9)
+    assert uncapped.count() == 50 * 49 // 2
+    capped = dedup.embedding_near_duplicates(
+        df, "vec_id", "v", threshold=0.9, max_bucket=10
+    )
+    assert capped.count() == 0
+
+
 def test_simhash_identical_docs_collide(spark):
     pdf = pd.DataFrame(
         {
@@ -178,6 +230,47 @@ def test_ann_materialized_index_matches_on_the_fly(spark, emb, tmp_path):
     assert "table" in pf_line and "bucket" in pf_line
 
 
+def test_ivf_index_recall_and_pruning(spark, emb, tmp_path):
+    """IVF: full probe (nprobe = n_centroids) is identical to exact
+    brute-force top-k; partial probe keeps the true top-1 (it lives in
+    the query's own list); the probe scan is partition-pruned to the
+    probed lists."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "ivf")
+    meta = ann.write_ivf_index(emb, path, n_centroids=8, seed=11)
+    assert meta["n_centroids"] == 8
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+
+    exact = [(r["vec_id"], round(r["cosine"], 6))
+             for r in ann.cosine_topk(emb, "embedding", qvec, 10).collect()]
+    full = [(r["vec_id"], round(r["cosine"], 6))
+            for r in ann.ivf_topk(spark, path, qvec, 10, nprobe=8).collect()]
+    assert full == exact
+
+    partial = ann.ivf_topk(spark, path, qvec, 10, nprobe=2)
+    assert partial.collect()[0]["vec_id"] == 7  # self lands in own list
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        partial.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "list" in pf_line
+
+
+def test_ivf_train_deterministic(emb):
+    c1 = ann.train_centroids(emb, n_centroids=8, seed=11)
+    c2 = ann.train_centroids(emb, n_centroids=8, seed=11)
+    assert (c1 == c2).all()
+    # normalized
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_ann_exact_self_similarity(emb):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     top = ann.cosine_topk(emb, "embedding", qvec, 1).collect()
@@ -222,3 +315,28 @@ def test_multimodal_resize_plan(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.LibraryDecoder().decode("image", "image/png", b"\x89PNG")
+
+
+def test_multimodal_pluggable_decoder(spark):
+    """The decode step is injected: a pure-numpy fake decoder drives the
+    same pipeline (schema/batching unchanged), produces deterministic
+    decoded-array features distinct from the default stub's."""
+    media = multimodal.synthesize_media(spark, 12)
+    default = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    decoded = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, decoder=multimodal.FakeDecoder()).collect()
+    }
+    assert set(decoded) == set(default)
+    assert all(len(v) == multimodal.FEATURE_DIM for v in decoded.values())
+    assert any(decoded[k] != default[k] for k in decoded)  # decoder actually used
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, decoder=multimodal.FakeDecoder()).collect()
+    }
+    assert again == decoded
+    # the fake decode itself: payload bytes tiled into an 8x8 [0,1] frame
+    frame = multimodal.FakeDecoder().decode("image", "image/png", b"\x00\xff" * 40)
+    assert frame.shape == (8, 8) and frame.min() >= 0.0 and frame.max() <= 1.0
