@@ -928,6 +928,53 @@ QUERIES.update(
     }
 )
 
+# inc_* entries: the SAME queries served from an INCREMENTALLY-COMMITTED
+# store (index/incremental.py): three disjoint append commits, each
+# tokenizing only its batch, read through the MultiGenIndex union
+# reader. Disjoint appends sum to the exact global df/cf/n_docs/avgdl,
+# so results — scores included — must equal the one-shot build's and the
+# base oracles apply unchanged (the reference's addDocument+commit
+# cycle, Lucene.java:920-945).
+_INC_STORE_CACHE: dict[tuple[int, str], str] = {}
+
+
+def get_incremental_index(spark: SparkSession, sf_dir: str):
+    from meresco_lucene_spark.index.incremental import IncrementalIndexStore
+
+    key = (id(spark), sf_dir)
+    if key not in _INC_STORE_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        root = tempfile.mkdtemp(prefix="mls_inc_")
+        spec = {k: v for k, v in _DOCS_INDEX_SPEC.items() if k != "id_col"}
+        inc = IncrementalIndexStore(spark, root, **spec)
+        for lo, hi in ((0, 170), (170, 340), (340, 1 << 60)):
+            inc.commit_batch(
+                df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            )
+        _INC_STORE_CACHE[key] = root
+    from meresco_lucene_spark.index.incremental import MultiGenIndex
+
+    return MultiGenIndex(spark, _INC_STORE_CACHE[key])
+
+
+_INC_BASE = {
+    "inc_term_bm25_top10": q_term_bm25_top10,
+    "inc_bool_must_top10": q_bool_must_top10,
+    "inc_phrase_match": q_phrase_match,
+    "inc_facet_lang": q_facet_lang,
+}
+QUERIES.update(
+    {
+        name: _functools.partial(fn, get_idx=get_incremental_index)
+        for name, fn in _INC_BASE.items()
+    }
+)
+
 
 def _with_shipping(fn):
     """Every driver entry must work when it is the FIRST (or only) call
@@ -1351,3 +1398,7 @@ ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
 # produce byte-identical results to the DataFrame path.
 for _seg_name in list(_SEG_BASE) + list(_SEG_CQ_BASE):
     ORACLES[_seg_name] = ORACLES[_seg_name[len("seg_"):]]
+# inc_* entries share them too: the incrementally-committed union reader
+# must answer byte-identically to the one-shot build (disjoint appends).
+for _inc_name in _INC_BASE:
+    ORACLES[_inc_name] = ORACLES[_inc_name[len("inc_"):]]

@@ -1,0 +1,345 @@
+"""Incremental commits for the persistent store: Lucene's segment model
+restated over generation directories.
+
+The reference's IndexWriter accumulates addDocument/deleteDocument calls
+and each commit makes a new durable segment set searchable
+(Lucene.java:920-945, commit policy LuceneSettings.java:58-59); deleted
+docs stay in the postings — and in docFreq/norms — until a MERGE
+rewrites them away (TieredMergePolicy, LuceneSettings.java:157-160).
+This module reproduces that contract Spark-first:
+
+  root/
+    _config.json       field typing / similarity config (written once)
+    gen-000000/
+      store/           a full build_index_store output for THIS batch
+      tombstones/      parquet (doc_id) — ids this commit supersedes or
+                       deletes in all OLDER generations
+      _COMMITTED       atomic commit marker (store + tombstones appear
+                       together or not at all)
+
+  * commit_batch(df)  — tokenizes ONLY the batch (at 100 TB you cannot
+    re-tokenize the corpus per refresh), builds a generation store,
+    tombstones older versions of the batch's ids, commits atomically.
+  * MultiGenIndex     — the InvertedIndex/PersistentIndex interface over
+    the union of committed generations: postings/forward rows of
+    superseded docs are filtered out (liveDocs), while df/cf/n_docs/
+    avgdl AGGREGATE across generations INCLUDING dead docs — exactly
+    Lucene's scoring semantics before a merge.
+  * force_merge()     — folds all generations into one (stats then
+    exclude deleted docs, as after a Lucene merge). The merge re-encodes
+    DECODED postings via build_index_store(occurrences=...) — no
+    re-tokenization, matching Lucene's copy-don't-reanalyze merges.
+
+Scale shape: a commit's cost is proportional to the BATCH (one small
+store build + one tombstone write); a query unions per-generation block
+scans whose term filters still push into each parquet scan; liveness is
+one broadcast-size anti-join per query until tombstones grow large, at
+which point force_merge (the tiered-merge analog) resets them to zero.
+Crash safety: a commit is invisible until its _COMMITTED marker exists
+(written last, via atomic rename), so a crash mid-commit leaves older
+readers consistent; a crashed gen dir is wiped and renumbered by the
+next commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.index.builder import FieldStats
+from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+
+_GEN_PREFIX = "gen-"
+
+
+def _gen_name(n: int) -> str:
+    return f"{_GEN_PREFIX}{n:06d}"
+
+
+def _commit_marker(gen_dir: str) -> str:
+    return os.path.join(gen_dir, "_COMMITTED")
+
+
+class IncrementalIndexStore:
+    """Writer handle: commit batches / deletes, open readers, merge."""
+
+    def __init__(self, spark: SparkSession, root: str, **build_kwargs):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        cfg_path = os.path.join(root, "_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                self.build_kwargs = json.load(f)
+            if build_kwargs and build_kwargs != self.build_kwargs:
+                raise ValueError(
+                    "store config differs from the existing _config.json; "
+                    "field typing is fixed at store creation"
+                )
+        else:
+            self.build_kwargs = dict(build_kwargs)
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.build_kwargs, f)
+            os.replace(tmp, cfg_path)
+
+    # ---------------------------------------------------------- discovery
+    def _gens(self, committed_only: bool = True) -> list[int]:
+        out = []
+        for e in os.listdir(self.root):
+            if e.startswith(_GEN_PREFIX):
+                if not committed_only or os.path.exists(
+                    _commit_marker(os.path.join(self.root, e))
+                ):
+                    out.append(int(e[len(_GEN_PREFIX):]))
+        return sorted(out)
+
+    def _next_gen(self) -> int:
+        all_gens = self._gens(committed_only=False)
+        return (all_gens[-1] + 1) if all_gens else 0
+
+    # ------------------------------------------------------------ commits
+    def commit_batch(
+        self,
+        df: DataFrame | None,
+        delete_ids: list[int] | None = None,
+        id_col: str = "doc_id",
+    ) -> int:
+        """One commit: the batch's docs become searchable, any OLDER
+        version of their ids (plus delete_ids) stops matching. Atomic:
+        the generation is invisible until _COMMITTED lands. Tombstones
+        are written unconditionally for the batch's ids — one write
+        instead of an existence-check join against every older
+        generation; a tombstone for an id that never existed matches
+        nothing."""
+        gen = self._next_gen()
+        gen_dir = os.path.join(self.root, _gen_name(gen))
+        shutil.rmtree(gen_dir, ignore_errors=True)  # crashed predecessor
+        os.makedirs(gen_dir)
+        tomb_ids = None
+        if df is not None:
+            build_index_store(
+                df, os.path.join(gen_dir, "store"), id_col=id_col,
+                **self.build_kwargs,
+            )
+            tomb_ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+        if delete_ids:
+            extra = self.spark.createDataFrame(
+                [(int(i),) for i in delete_ids], "doc_id long"
+            )
+            tomb_ids = extra if tomb_ids is None else tomb_ids.unionByName(extra)
+        if tomb_ids is not None and self._gens():
+            # no older generation -> nothing a tombstone could mask
+            tomb_ids.distinct().write.mode("overwrite").parquet(
+                os.path.join(gen_dir, "tombstones")
+            )
+        marker_tmp = os.path.join(gen_dir, "_COMMITTED.tmp")
+        with open(marker_tmp, "w") as f:
+            f.write("ok")
+        os.replace(marker_tmp, _commit_marker(gen_dir))
+        return gen
+
+    def delete(self, delete_ids: list[int]) -> int:
+        """deleteDocument analog: a tombstone-only commit."""
+        return self.commit_batch(None, delete_ids=delete_ids)
+
+    # ------------------------------------------------------------- reads
+    def open(self) -> "MultiGenIndex":
+        return MultiGenIndex(self.spark, self.root)
+
+    # ------------------------------------------------------------- merge
+    def force_merge(self) -> int:
+        """Fold every committed generation into one (the tiered-merge
+        endpoint): live postings are DECODED and re-encoded through
+        build_index_store(occurrences=...) — no re-tokenization — and
+        the merged store's stats cover live docs only, exactly the
+        post-merge Lucene scoring change. Crash-safe ordering: the
+        merged generation tombstones EVERY older id and commits
+        atomically BEFORE the old generation dirs are deleted, so a
+        crash between the two steps leaves a bigger but consistent
+        store."""
+        gens = self._gens()
+        if len(gens) <= 1:
+            return gens[0] if gens else -1
+        reader = self.open()
+        gen = self._next_gen()
+        gen_dir = os.path.join(self.root, _gen_name(gen))
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        os.makedirs(gen_dir)
+        build_index_store(
+            reader.forward,
+            os.path.join(gen_dir, "store"),
+            id_col="doc_id",
+            occurrences=reader.live_occurrences(),
+            lengths=reader.live_lengths(),
+            **self.build_kwargs,
+        )
+        reader.forward.select("doc_id").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_dir, "tombstones"))
+        marker_tmp = os.path.join(gen_dir, "_COMMITTED.tmp")
+        with open(marker_tmp, "w") as f:
+            f.write("ok")
+        os.replace(marker_tmp, _commit_marker(gen_dir))
+        for g in gens:
+            shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
+        return gen
+
+
+class MultiGenIndex:
+    """Union reader over committed generations with Lucene liveness
+    semantics: superseded/deleted docs drop out of results, stay in the
+    scoring statistics until force_merge. Implements the same interface
+    as InvertedIndex/PersistentIndex, so the whole executor surface
+    (term/bool/phrase/prefix/range/facets/sort/dedup/composed) runs
+    unchanged on top."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.id_col = "doc_id"
+        gens = []
+        for e in sorted(os.listdir(root)):
+            if e.startswith(_GEN_PREFIX) and os.path.exists(
+                _commit_marker(os.path.join(root, e))
+            ):
+                gens.append(int(e[len(_GEN_PREFIX):]))
+        self.gens = gens
+        self.stores: dict[int, PersistentIndex] = {}
+        tomb_parts = []
+        for g in gens:
+            gen_dir = os.path.join(root, _gen_name(g))
+            if os.path.isdir(os.path.join(gen_dir, "store")):
+                self.stores[g] = PersistentIndex(
+                    spark, os.path.join(gen_dir, "store")
+                )
+            tdir = os.path.join(gen_dir, "tombstones")
+            if os.path.isdir(tdir):
+                tomb_parts.append(
+                    spark.read.parquet(tdir).select(
+                        "doc_id", F.lit(g).alias("_tomb_gen")
+                    )
+                )
+        if not self.stores:
+            raise ValueError(f"no committed generations with data under {root}")
+        first = self.stores[min(self.stores)]
+        self.k1 = first.k1
+        self.b = first.b
+        self.similarity = first.similarity
+        self.quantized = first.quantized
+        self.has_positions = first.has_positions
+        self.facet_fields = dict(first.facet_fields)
+        self._tombstones = None
+        if tomb_parts:
+            t = tomb_parts[0]
+            for p in tomb_parts[1:]:
+                t = t.unionByName(p)
+            self._tombstones = t
+        self.n_docs = sum(s.n_docs for s in self.stores.values())
+        self.forward = self._live(
+            self._union(lambda s: s.forward), keep_gen=False
+        )
+
+    # --------------------------------------------------------- internals
+    def _union(self, frame_of) -> DataFrame:
+        """Union of per-generation frames, tagged with their gen."""
+        parts = [
+            frame_of(s).withColumn("_gen", F.lit(g))
+            for g, s in self.stores.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _live(self, tagged: DataFrame, keep_gen: bool = False) -> DataFrame:
+        """Drop rows whose doc_id is tombstoned by a LATER generation (a
+        re-added doc's new version survives its own tombstone: the kill
+        condition is strictly tomb_gen > row gen)."""
+        if self._tombstones is None:
+            return tagged if keep_gen else tagged.drop("_gen")
+        t = F.broadcast(self._tombstones)
+        out = tagged.join(
+            t,
+            (tagged["doc_id"] == t["doc_id"])
+            & (t["_tomb_gen"] > tagged["_gen"]),
+            "left_anti",
+        )
+        return out if keep_gen else out.drop("_gen")
+
+    # ------------------------------------------------- InvertedIndex API
+    def field_stats(self, fld: str) -> FieldStats:
+        n, sdl, omit = 0, 0, False
+        for s in self.stores.values():
+            if fld in s.stats:
+                st = s.stats[fld]
+                n += st.n_docs
+                sdl += st.sum_dl
+                omit = st.omit_norms
+        if n == 0:
+            return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
+        return FieldStats(n_docs=n, sum_dl=sdl, omit_norms=omit)
+
+    def postings_for(self, fld: str) -> DataFrame:
+        return self._live(self._union(lambda s: s.postings_for(fld)))
+
+    def lengths_for(self, fld: str) -> DataFrame:
+        # dead docs' lengths are harmless here (only ever joined against
+        # live postings rows) and Lucene keeps their norms anyway
+        return self._union(lambda s: s.lengths_for(fld)).drop("_gen")
+
+    def term_stats_for(self, fld: str) -> DataFrame:
+        # df/cf SUM across generations INCLUDING dead docs (Lucene
+        # docFreq counts deleted docs until merge)
+        return (
+            self._union(lambda s: s.term_stats_for(fld))
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("cf").cast("long").alias("cf"),
+            )
+        )
+
+    def num_docs(self) -> int:
+        return self.n_docs
+
+    def fieldnames(self) -> list[str]:
+        names = set()
+        for s in self.stores.values():
+            names.update(s.fieldnames())
+        return sorted(names)
+
+    def unpersist(self) -> None:
+        pass
+
+    # ------------------------------------------------------- merge feeds
+    def live_occurrences(self) -> DataFrame:
+        """(field, term, doc_id, pos) of every LIVE posting — decoded
+        from blocks, never re-tokenized. Feed for force_merge."""
+        def occ(s: PersistentIndex) -> DataFrame:
+            parts = [
+                s.postings_for(f).select(
+                    "field",
+                    "term",
+                    "doc_id",
+                    F.explode("positions").alias("pos"),
+                )
+                for f in s.fieldnames()
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        return self._live(self._union(occ))
+
+    def live_lengths(self) -> DataFrame:
+        return self._live(
+            self._union(lambda s: s.field_lengths.select(
+                "field", "doc_id", "dl", "norm_dl"
+            ))
+        )

@@ -131,6 +131,8 @@ def build_index_store(
     hot_df_fraction: float = 0.05,
     resume: bool = False,
     run_id: str = "run0",
+    occurrences: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> "PersistentIndex":
     """Build the persistent store: one tokenize+agg pass materialized to
     a parquet intermediate (no in-memory caching of the positions-heavy
@@ -145,21 +147,30 @@ def build_index_store(
     granularity via lineage rows — shards with a lineage row are kept,
     partial shard dirs without one are wiped and re-encoded. Blocks are a
     pure function of the (field, term, doc)-sorted postings, so a resumed
-    build is logically identical to an uninterrupted one (tested)."""
+    build is logically identical to an uninterrupted one (tested).
+
+    ``occurrences``/``lengths`` override the tokenize pass with
+    precomputed frames (occurrences: field, term, doc_id, pos; lengths:
+    field, doc_id, dl, norm_dl) — the generation-merge path re-encodes
+    decoded postings WITHOUT re-tokenizing (Lucene's merge copies
+    postings, it never re-analyzes: index/incremental.py)."""
     import shutil
 
     from meresco_lucene_spark.index.builder import occurrence_frames
 
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    occurrences_lazy, lengths_lazy = occurrence_frames(
-        df,
-        id_col=id_col,
-        text_cols=text_cols,
-        keyword_cols=keyword_cols,
-        array_cols=array_cols,
-        dutch_cols=dutch_cols,
-    )
+    if occurrences is not None and lengths is not None:
+        occurrences_lazy, lengths_lazy = occurrences, lengths
+    else:
+        occurrences_lazy, lengths_lazy = occurrence_frames(
+            df,
+            id_col=id_col,
+            text_cols=text_cols,
+            keyword_cols=keyword_cols,
+            array_cols=array_cols,
+            dutch_cols=dutch_cols,
+        )
     forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
     flat_dir = os.path.join(out_dir, "_flat_postings")
     post_dir = os.path.join(out_dir, "postings")

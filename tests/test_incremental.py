@@ -1,0 +1,145 @@
+"""Incremental commits (index/incremental.py): Lucene's segment model —
+per-batch generation stores, liveness tombstones, stats-include-deleted
+until merge, copy-don't-reanalyze force_merge."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.index.incremental import (
+    IncrementalIndexStore,
+    MultiGenIndex,
+)
+from meresco_lucene_spark.index.store import build_index_store
+from meresco_lucene_spark.query.executor import hits
+from meresco_lucene_spark.query.ir import MUST, SHOULD, Q
+
+SF = "/root/testdata/sf0.001"
+
+CFG = dict(text_cols=["text"], keyword_cols=["lang"], n_shards=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 90
+    ).select("doc_id", "text", "lang").persist()
+
+
+def _scores(idx, q):
+    return {
+        (r["doc_id"], round(r["score"], 6)) for r in hits(idx, q).collect()
+    }
+
+
+def test_append_commits_equal_oneshot_build(spark, docs, tmp_path):
+    """Three append-only commits must answer every query identically to
+    a single one-shot store build over the same rows (disjoint batches:
+    summed df/cf/n_docs/avgdl equal the global ones exactly)."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        inc.commit_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+    multi = inc.open()
+    assert len(multi.gens) == 3
+
+    one = build_index_store(docs, str(tmp_path / "one"), **CFG)
+    for q in (
+        Q.term("text", "import"),
+        Q.boolean(
+            (MUST, Q.term("text", "import")), (MUST, Q.term("text", "return"))
+        ),
+        Q.phrase("text", "def", "main"),
+        Q.prefix("text", "im"),
+    ):
+        assert _scores(multi, q) == _scores(one, q)
+    assert multi.num_docs() == one.num_docs()
+    st_m, st_o = multi.field_stats("text"), one.field_stats("text")
+    assert (st_m.n_docs, st_m.sum_dl) == (st_o.n_docs, st_o.sum_dl)
+
+
+def test_update_supersedes_older_version(spark, docs, tmp_path):
+    """An id re-committed in a later batch stops matching its OLD terms
+    and starts matching the new ones; scoring stats keep counting the
+    superseded version until merge (Lucene: deletes don't shrink
+    docFreq)."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    b1 = docs.filter(F.col("doc_id") < 20)
+    inc.commit_batch(b1)
+    upd = spark.createDataFrame(
+        [(5, "zzunique replacement body", "en")], "doc_id long, text string, lang string"
+    )
+    inc.commit_batch(upd)
+    multi = inc.open()
+
+    assert {r["doc_id"] for r in hits(multi, Q.term("text", "zzunique")).collect()} == {5}
+    old_terms = {r["doc_id"] for r in hits(multi, Q.term("text", "import")).collect()}
+    assert 5 not in old_terms
+    # forward serves exactly one (the latest) row for the updated id
+    fwd = multi.forward.filter(F.col("doc_id") == 5).collect()
+    assert len(fwd) == 1 and "zzunique" in fwd[0]["text"]
+    # stats include the superseded version: 20 originals + 1 update
+    assert multi.field_stats("text").n_docs == 21
+
+
+def test_delete_then_readd(spark, docs, tmp_path):
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 10))
+    inc.delete([3])
+    multi = inc.open()
+    assert 3 not in {r["doc_id"] for r in multi.forward.select("doc_id").collect()}
+    readd = spark.createDataFrame(
+        [(3, "resurrected zzalive content", "en")],
+        "doc_id long, text string, lang string",
+    )
+    inc.commit_batch(readd)
+    multi = inc.open()
+    assert {r["doc_id"] for r in hits(multi, Q.term("text", "zzalive")).collect()} == {3}
+
+
+def test_force_merge_equals_fresh_build_on_live_state(spark, docs, tmp_path):
+    """After updates + deletes, force_merge folds to ONE generation whose
+    results AND scores equal a fresh one-shot build over the live rows
+    (post-merge stats drop dead docs, the Lucene merge semantics) —
+    without re-tokenizing (merge re-encodes decoded postings)."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 30))
+    upd = spark.createDataFrame(
+        [(7, "zzmerged replacement text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    inc.commit_batch(upd)
+    inc.delete([11])
+    inc.force_merge()
+    multi = inc.open()
+    assert len(multi.gens) == 1
+
+    live = docs.filter((F.col("doc_id") < 30) & ~F.col("doc_id").isin(7, 11)).unionByName(upd)
+    fresh = build_index_store(live, str(tmp_path / "fresh"), **CFG)
+    for q in (
+        Q.term("text", "import"),
+        Q.term("text", "zzmerged"),
+        Q.boolean(
+            (SHOULD, Q.term("text", "import")), (SHOULD, Q.term("text", "return"))
+        ),
+        Q.phrase("text", "def", "main"),
+    ):
+        assert _scores(multi, q) == _scores(fresh, q)
+    st_m, st_f = multi.field_stats("text"), fresh.field_stats("text")
+    assert (st_m.n_docs, st_m.sum_dl) == (st_f.n_docs, st_f.sum_dl)
+
+
+def test_uncommitted_generation_invisible(spark, docs, tmp_path):
+    """A crashed commit (gen dir without _COMMITTED) must not surface;
+    the next commit renumbers past it."""
+    root = str(tmp_path / "inc")
+    inc = IncrementalIndexStore(spark, root, **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 10))
+    os.makedirs(os.path.join(root, "gen-000001", "store"), exist_ok=True)  # crash debris
+    multi = inc.open()
+    assert multi.gens == [0]
+    g = inc.commit_batch(docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)))
+    assert g == 2  # renumbered past the debris
+    assert inc.open().num_docs() == 20
