@@ -131,6 +131,32 @@ def test_force_merge_equals_fresh_build_on_live_state(spark, docs, tmp_path):
     assert (st_m.n_docs, st_m.sum_dl) == (st_f.n_docs, st_f.sum_dl)
 
 
+def test_multigen_term_filter_pushdown(spark, docs, tmp_path):
+    """The 100 TB contract of the union reader: a term filter must reach
+    EVERY generation's parquet scan (below the decode projection, the
+    Union and the liveness anti-join) — a query touches only its term's
+    blocks in each generation, never a full scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 30))
+    inc.commit_batch(docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)))
+    inc.delete([5])  # force a tombstone frame into the plan
+    multi = inc.open()
+    plan_df = multi.postings_for("text").filter(F.col("term") == "import")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "term" in ln and "import" in ln
+    ]
+    # one pushed term filter per generation scan
+    assert len(pushed) >= 2, plan
+
+
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
     the next commit renumbers past it."""

@@ -144,6 +144,51 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in hits(idx, Q.term("text", "gamma")).collect()} == {11, 12}
 
 
+def test_stream_ingest_incremental(spark, tmp_path):
+    """Micro-batches commit straight into the incremental store: each
+    batch tokenizes only itself, updates supersede, deletes tombstone,
+    and the MultiGenIndex answers after every commit."""
+    from meresco_lucene_spark.streaming.ingest import stream_ingest_incremental
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _batch(spark, [(1, "alpha beta", None), (2, "beta gamma", None)]).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    store, query = stream_ingest_incremental(
+        stream,
+        str(tmp_path / "inc"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        text_cols=["text"],
+        n_shards=2,
+    )
+    try:
+        query.processAllAvailable()
+        idx = store.open()
+        assert {r["doc_id"] for r in hits(idx, Q.term("text", "beta")).collect()} == {1, 2}
+
+        # batch 2: update doc 1, delete doc 2
+        _batch(spark, [(1, "alpha delta", None), (2, None, True)]).write.mode(
+            "append"
+        ).parquet(str(src))
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    idx = store.open()
+    assert len(idx.gens) == 2
+    assert {r["doc_id"] for r in hits(idx, Q.term("text", "delta")).collect()} == {1}
+    assert hits(idx, Q.term("text", "gamma")).count() == 0  # doc 2 deleted
+    assert hits(idx, Q.term("text", "beta")).count() == 0  # doc 1 superseded
+    # merge folds to one generation, results unchanged
+    store.force_merge()
+    idx = store.open()
+    assert len(idx.gens) == 1
+    assert {r["doc_id"] for r in hits(idx, Q.term("text", "delta")).collect()} == {1}
+
+
 def test_ingest_compact(spark, tmp_path):
     """Epoch compaction: N commits fold into one epoch with identical
     current_state (upserts applied, tombstoned ids gone)."""
