@@ -121,6 +121,42 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
         )
         rec("store_build_documents", t)
 
+        # incremental refresh cost: the same docs as 3 append commits
+        # (each tokenizes only its batch) + one union-reader term query
+        from pyspark.sql import functions as F
+
+        from meresco_lucene_spark.index.incremental import IncrementalIndexStore
+        from meresco_lucene_spark.query.executor import hits
+        from meresco_lucene_spark.query.ir import Q
+
+        inc_dir = os.path.join(
+            tempfile.gettempdir(), f"mls_bench_inc_{os.getpid()}"
+        )
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        third = max(n_docs // 3, 1)
+
+        def _inc_commits():
+            inc = IncrementalIndexStore(
+                spark, inc_dir, text_cols=["text"], keyword_cols=["lang", "source"]
+            )
+            for lo in (0, third, 2 * third):
+                hi = lo + third if lo < 2 * third else 1 << 60
+                inc.commit_batch(
+                    docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                )
+            return inc
+
+        t, inc = timed(_inc_commits)
+        rec("inc_three_commits", t)
+        t, _ = timed(
+            lambda: hits(inc.open(), Q.term("text", "spark"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10)
+            .collect()
+        )
+        rec("inc_term_query", t)
+        shutil.rmtree(inc_dir, ignore_errors=True)
+
     entry_queries._INDEX_CACHE[(id(spark), sf_dir)] = idx
     entry_queries._STORE_CACHE[(id(spark), sf_dir)] = store_dir
 
@@ -179,6 +215,7 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
         "index_docs_per_sec": round(n_docs / queries["index_build_documents"], 1),
         "segment_docs_per_sec": round(n_corpus / queries["segment_build_corpus"], 1),
         "store_docs_per_sec": round(n_docs / queries["store_build_documents"], 1),
+        "inc_commit_docs_per_sec": round(n_docs / queries["inc_three_commits"], 1),
     }
 
 

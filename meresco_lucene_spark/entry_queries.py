@@ -838,8 +838,70 @@ def q_suggest_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SUGG_STORE_CACHE: dict[tuple[int, str], str] = {}
+
+
+def q_seg_suggest_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3/G5 from the DURABLE suggestion store: built once per
+    sf_dir via the atomic generation-dir swap, REOPENED from disk per
+    query (SuggestionIndex.java:132-158's rebuild-and-swap contract).
+    Same results as the session-built suggest_ngram — the shared oracle
+    gates that the durable path changes nothing."""
+    from meresco_lucene_spark.analysis.tokenizer import tokenize_expr
+    from meresco_lucene_spark.suggest import (
+        open_suggestion_store,
+        suggest,
+        swap_suggestion_store,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _SUGG_STORE_CACHE:
+        import tempfile
+
+        from meresco_lucene_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        titled = df.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(tokenize_expr(F.col("text")), 1, 2)).alias(
+                "title"
+            ),
+        )
+        live = tempfile.mkdtemp(prefix="mls_sugg_")
+        swap_suggestion_store(titled, "title", live, key_col="doc_id")
+        _SUGG_STORE_CACHE[key] = live
+    si = open_suggestion_store(spark, _SUGG_STORE_CACHE[key])
+    return suggest(si, "ke", limit=25).withColumn("score", F.round("score", 4))
+
+
+def q_cluster_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 clustering (rows-only; DBSCAN+PageRank are not
+    SQL-expressible — goldens from LuceneTest.java:687-750 live in
+    pytest): cluster the top hits of a TermQuery by their text term
+    vectors, flattened to (cluster, rank, doc_id, doc_score) rows.
+    Deterministic: stable sorts over deterministic input."""
+    from meresco_lucene_spark.query.clustering import cluster_top_docs
+
+    idx = get_index(spark, sf_dir)
+    h = hits(idx, Q.term("text", "spark"))
+    clusters = cluster_top_docs(
+        idx, h, "text", stop=10, cluster_more_records=40
+    )
+    rows = [
+        (ci, ri, int(ds.doc_id), round(float(ds.score), 4))
+        for ci, c in enumerate(clusters)
+        for ri, ds in enumerate(c.topDocs)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, rank int, doc_id long, doc_score double"
+    )
+
+
 QUERIES = {
     "suggest_ngram": q_suggest_ngram,
+    "seg_suggest_ngram": q_seg_suggest_ngram,
+    "cluster_top_docs": q_cluster_top_docs,
     "cq_join_semi": q_cq_join_semi,
     "cq_join_anti": q_cq_join_anti,
     "cq_unite": q_cq_unite,
@@ -1402,3 +1464,7 @@ for _seg_name in list(_SEG_BASE) + list(_SEG_CQ_BASE):
 # must answer byte-identically to the one-shot build (disjoint appends).
 for _inc_name in _INC_BASE:
     ORACLES[_inc_name] = ORACLES[_inc_name[len("inc_"):]]
+# durable suggestion store must answer identically to the session build
+# (cluster_top_docs stays rows-only: DBSCAN/PageRank are not
+# SQL-expressible; goldens live in pytest).
+ORACLES["seg_suggest_ngram"] = ORACLES["suggest_ngram"]

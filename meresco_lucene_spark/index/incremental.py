@@ -152,6 +152,18 @@ class IncrementalIndexStore:
         return MultiGenIndex(self.spark, self.root)
 
     # ------------------------------------------------------------- merge
+    def maybe_merge(self, segments_per_tier: int = 8) -> int | None:
+        """The TieredMergePolicy trigger (reference default
+        segmentsPerTier=8.0, LuceneSettings.java:157-160): fold when the
+        committed generation count exceeds the tier size, otherwise do
+        nothing. Call after commit_batch in steady-state ingest so reads
+        never union more than ~segments_per_tier generations and the
+        tombstone anti-join stays broadcast-small. Returns the merged
+        generation number, or None if below the threshold."""
+        if len(self._gens()) <= segments_per_tier:
+            return None
+        return self.force_merge()
+
     def force_merge(self) -> int:
         """Fold every committed generation into one (the tiered-merge
         endpoint): live postings are DECODED and re-encoded through

@@ -157,6 +157,24 @@ def test_multigen_term_filter_pushdown(spark, docs, tmp_path):
     assert len(pushed) >= 2, plan
 
 
+def test_maybe_merge_tiered_trigger(spark, docs, tmp_path):
+    """maybe_merge is the TieredMergePolicy trigger: below the tier size
+    it does nothing; above it, generations fold to one and visible
+    results are unchanged."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    for lo in range(0, 30, 10):
+        inc.commit_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        )
+    assert inc.maybe_merge(segments_per_tier=4) is None
+    before = _scores(inc.open(), Q.term("text", "import"))
+    assert inc.maybe_merge(segments_per_tier=2) is not None
+    multi = inc.open()
+    assert len(multi.gens) == 1
+    # append-only history: merge changes no stats, so scores identical
+    assert _scores(multi, Q.term("text", "import")) == before
+
+
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
     the next commit renumbers past it."""
