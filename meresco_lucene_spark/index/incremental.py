@@ -148,8 +148,13 @@ class IncrementalIndexStore:
         return self.commit_batch(None, delete_ids=delete_ids)
 
     # ------------------------------------------------------------- reads
-    def open(self) -> "MultiGenIndex":
-        return MultiGenIndex(self.spark, self.root)
+    def open(self, as_of: int | None = None) -> "MultiGenIndex":
+        """Open a reader; ``as_of`` pins it to the state after commit N
+        (generations and tombstones above N are ignored) — the commit-
+        point / snapshot-read analog (reference keeps prior commit
+        points for readers, Lucene.java:899-907). Snapshots survive
+        until a merge garbage-collects the generations they reference."""
+        return MultiGenIndex(self.spark, self.root, as_of=as_of)
 
     # ------------------------------------------------------------- merge
     def maybe_merge(self, segments_per_tier: int = 8) -> int | None:
@@ -199,6 +204,11 @@ class IncrementalIndexStore:
         os.replace(marker_tmp, _commit_marker(gen_dir))
         for g in gens:
             shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
+        # the merged gen's tombstones (one row per LIVE doc — corpus-sized)
+        # only mask the generations just deleted; dropping them now keeps
+        # steady-state reads free of any anti-join and keeps the tombstone
+        # broadcast bounded by UN-MERGED volume forever, never corpus size
+        shutil.rmtree(os.path.join(gen_dir, "tombstones"), ignore_errors=True)
         return gen
 
 
@@ -210,7 +220,7 @@ class MultiGenIndex:
     (term/bool/phrase/prefix/range/facets/sort/dedup/composed) runs
     unchanged on top."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, as_of: int | None = None):
         self.spark = spark
         self.root = root
         self.id_col = "doc_id"
@@ -219,7 +229,9 @@ class MultiGenIndex:
             if e.startswith(_GEN_PREFIX) and os.path.exists(
                 _commit_marker(os.path.join(root, e))
             ):
-                gens.append(int(e[len(_GEN_PREFIX):]))
+                g = int(e[len(_GEN_PREFIX):])
+                if as_of is None or g <= as_of:
+                    gens.append(g)
         self.gens = gens
         self.stores: dict[int, PersistentIndex] = {}
         tomb_parts = []

@@ -175,6 +175,49 @@ def test_maybe_merge_tiered_trigger(spark, docs, tmp_path):
     assert _scores(multi, Q.term("text", "import")) == before
 
 
+def test_merge_drops_corpus_sized_tombstones(spark, docs, tmp_path):
+    """After a merge garbage-collects the old generations, the merged
+    generation's own tombstones (one per live doc — corpus-sized) mask
+    nothing and must be gone: steady-state reads carry NO liveness
+    anti-join and the tombstone broadcast is bounded by un-merged
+    volume, never corpus size."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 20))
+    inc.commit_batch(docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)))
+    inc.force_merge()
+    multi = inc.open()
+    assert multi._tombstones is None
+    assert multi.num_docs() == 40
+    # and a post-merge commit starts a fresh, batch-bounded tombstone set
+    upd = spark.createDataFrame(
+        [(3, "zzpostmerge text", "en")], "doc_id long, text string, lang string"
+    )
+    inc.commit_batch(upd)
+    multi = inc.open()
+    assert multi._tombstones.count() == 1
+
+
+def test_as_of_snapshot_read(spark, docs, tmp_path):
+    """open(as_of=N) pins the state after commit N: later updates and
+    deletes are invisible to the snapshot while the live reader sees
+    them — the commit-point analog."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    g0 = inc.commit_batch(docs.filter(F.col("doc_id") < 20))
+    upd = spark.createDataFrame(
+        [(5, "zzlater replacement", "en")], "doc_id long, text string, lang string"
+    )
+    inc.commit_batch(upd)
+    inc.delete([7])
+
+    snap = inc.open(as_of=g0)
+    live = inc.open()
+    assert snap.num_docs() == 20
+    assert {r["doc_id"] for r in hits(snap, Q.term("text", "zzlater")).collect()} == set()
+    assert 7 in {r["doc_id"] for r in snap.forward.select("doc_id").collect()}
+    assert {r["doc_id"] for r in hits(live, Q.term("text", "zzlater")).collect()} == {5}
+    assert 7 not in {r["doc_id"] for r in live.forward.select("doc_id").collect()}
+
+
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
     the next commit renumbers past it."""
