@@ -218,6 +218,58 @@ def test_as_of_snapshot_read(spark, docs, tmp_path):
     assert 7 not in {r["doc_id"] for r in live.forward.select("doc_id").collect()}
 
 
+def test_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model check: random interleavings of add/update/delete/merge must
+    leave the store's visible state equal to a plain dict applying the
+    same ops (seeded, 3 sequences x 12 ops; Spark builds are the cost
+    ceiling, not the example count)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"inc{seed}")
+        inc = IncrementalIndexStore(spark, root, **CFG)
+        model: dict[int, str] = {}
+        # a first commit so tombstones have something to mask
+        first = {i: f"w{seed} base{i} doc" for i in range(4)}
+        inc.commit_batch(
+            spark.createDataFrame(
+                [(k, v, "en") for k, v in first.items()],
+                "doc_id long, text string, lang string",
+            )
+        )
+        model.update(first)
+        for step in range(12):
+            op = rng.choice(["add", "update", "delete", "merge"])
+            if op == "merge":
+                inc.force_merge()
+            elif op == "delete":
+                if not model:
+                    continue
+                victim = rng.choice(sorted(model))
+                inc.delete([victim])
+                del model[victim]
+            else:
+                if op == "add" or not model:
+                    did = max(model, default=-1) + 1
+                else:
+                    did = rng.choice(sorted(model))
+                text = f"w{seed} s{step} tok{rng.randrange(5)} doc{did}"
+                inc.commit_batch(
+                    spark.createDataFrame(
+                        [(did, text, "en")], "doc_id long, text string, lang string"
+                    )
+                )
+                model[did] = text
+        got = {
+            r["doc_id"]: r["text"] for r in inc.open().forward.collect()
+        }
+        assert got == model, f"seed {seed}"
+        # every live doc matches the shared token; no ghost matches
+        q = Q.term("text", f"w{seed}")
+        assert {r["doc_id"] for r in hits(inc.open(), q).collect()} == set(model)
+
+
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
     the next commit renumbers past it."""
