@@ -353,6 +353,61 @@ def q_ingest_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_versioned_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): CDC
+    versioning over three real micro-batches — originals, an identical
+    resend (suppressed by per-key state), then an edit. Output is every
+    content-changing update with its per-doc version; the oracle is the
+    closed form: version 0 = original text, version 1 = edited text,
+    nothing from the resend."""
+    import os as _os
+    import tempfile
+
+    from meresco_lucene_spark.streaming.stateful import versioned_updates
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    d = tempfile.mkdtemp(prefix="mls_vu_")
+    src = _os.path.join(d, "in")
+    batches = [
+        docs,
+        docs,  # identical resend -> fully suppressed
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" edited"))),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        # one file per micro-batch, ordered by mtime (FileStreamSource
+        # processes oldest-first with maxFilesPerTrigger=1)
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if f.endswith(".parquet") and _os.path.getmtime(p) > i:
+                _os.utime(p, (i + 1, i + 1))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"vu_{_os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+    q = (
+        versioned_updates(stream, state_ttl_ms=0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(d, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT doc_id, version, text FROM {name}").orderBy(
+        "doc_id", "version"
+    )
+
+
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the Structured Streaming idiom, batch
     equivalent): events per 1-day window per type."""
@@ -943,6 +998,7 @@ QUERIES = {
     "cql_boolean": q_cql_boolean,
     "ingest_latest_state": q_ingest_latest_state,
     "events_windowed_counts": q_events_windowed_counts,
+    "stateful_versioned_updates": q_stateful_versioned_updates,
 }
 
 # seg_* entries: the SAME queries served from the persistent on-disk
@@ -1336,6 +1392,15 @@ FROM (
     "events_windowed_counts": """
 SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    # stateful_versioned_updates: closed form of the 3-batch CDC stream —
+    # version 0 = original text, the identical resend emits nothing,
+    # version 1 = edited text.
+    "stateful_versioned_updates": """
+SELECT doc_id, 0 AS version, text FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT doc_id, 1 AS version, text || ' edited' FROM documents WHERE doc_id < 40
+ORDER BY doc_id, version
 """,
     "cql_boolean": ORACLE_PRELUDE
     + """

@@ -189,6 +189,99 @@ def test_stream_ingest_incremental(spark, tmp_path):
     assert {r["doc_id"] for r in hits(idx, Q.term("text", "delta")).collect()} == {1}
 
 
+def test_versioned_updates_stateful(spark, tmp_path):
+    """applyInPandasWithState CDC versioning: versions increase per id
+    ACROSS micro-batches (state persists), identical re-sends are
+    suppressed, new ids start at version 0."""
+    from meresco_lucene_spark.streaming.stateful import versioned_updates
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = versioned_updates(stream, state_ttl_ms=0)  # NoTimeout: deterministic
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vu")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: identical re-send of doc 1 -> suppressed
+        spark.createDataFrame([(1, "alpha")], "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        # batch 3: changed doc 1 + new doc 3
+        spark.createDataFrame(
+            [(1, "alpha2"), (3, "gamma")], "doc_id long, text string"
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["doc_id"], r["version"]): r["text"]
+        for r in spark.sql("SELECT * FROM vu").collect()
+    }
+    assert rows == {
+        (1, 0): "alpha",
+        (2, 0): "beta",
+        (1, 1): "alpha2",  # state persisted across batches; dup dropped
+        (3, 0): "gamma",
+    }
+
+
+def test_windowed_event_counts_watermarked(spark, tmp_path):
+    """Watermarked tumbling windows: the streaming aggregation over a
+    file source matches the plain batch groupBy on the same events."""
+    from meresco_lucene_spark.streaming.stateful import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    src = tmp_path / "ev"
+    events.write.parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        windowed_event_counts(stream, window="1 day", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wec")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must agree with the batch truth
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM wec").collect()
+    }
+    truth = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in (
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        ).collect()
+    }
+    assert set(got).issubset(set(truth))
+    for k, v in got.items():
+        assert truth[k] == v
+
+
 def test_ingest_compact(spark, tmp_path):
     """Epoch compaction: N commits fold into one epoch with identical
     current_state (upserts applied, tombstoned ids gone)."""
