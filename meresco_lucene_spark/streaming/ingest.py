@@ -165,6 +165,7 @@ def stream_ingest_incremental(
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
     trigger_seconds: float | None = None,
+    auto_merge_tier: int | None = None,
     **store_kwargs,
 ):
     """Wire an input stream DIRECTLY into an IncrementalIndexStore
@@ -174,6 +175,9 @@ def stream_ingest_incremental(
     versions via the store's tombstones; rows with ``_deleted = true``
     become tombstone-only deletes; within-batch duplicates resolve to
     the highest ``_seq`` (else an arbitrary row, as with IngestSink).
+    ``auto_merge_tier`` runs the tiered-merge trigger after every commit
+    (maybe_merge: fold once more than that many generations exist), the
+    steady-state analog of the reference's background merges.
 
     Returns (store, streaming_query); query results come from
     ``store.open()`` after any commit."""
@@ -202,6 +206,8 @@ def stream_ingest_incremental(
             adds = None
         if adds is not None or dels:
             store.commit_batch(adds, delete_ids=dels or None, id_col=id_col)
+            if auto_merge_tier is not None:
+                store.maybe_merge(segments_per_tier=auto_merge_tier)
 
     writer = stream_df.writeStream.outputMode("append").foreachBatch(_commit)
     if checkpoint_dir:

@@ -189,6 +189,46 @@ def test_stream_ingest_incremental(spark, tmp_path):
     assert {r["doc_id"] for r in hits(idx, Q.term("text", "delta")).collect()} == {1}
 
 
+def test_stream_ingest_auto_merge(spark, tmp_path):
+    """auto_merge_tier folds generations during steady-state ingest:
+    after 3 micro-batch commits with tier=2, reads see one generation
+    and all docs."""
+    from meresco_lucene_spark.streaming.ingest import stream_ingest_incremental
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        _batch(spark, [(10 + i, f"word{i} shared", None)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store, query = stream_ingest_incremental(
+        stream,
+        str(tmp_path / "inc"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        auto_merge_tier=2,
+        text_cols=["text"],
+        n_shards=2,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    idx = store.open()
+    assert len(idx.gens) <= 2  # the 3rd commit crossed the tier -> folded
+    assert {r["doc_id"] for r in hits(idx, Q.term("text", "shared")).collect()} == {
+        10,
+        11,
+        12,
+    }
+
+
 def test_versioned_updates_stateful(spark, tmp_path):
     """applyInPandasWithState CDC versioning: versions increase per id
     ACROSS micro-batches (state persists), identical re-sends are
