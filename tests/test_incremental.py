@@ -270,6 +270,55 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
         assert {r["doc_id"] for r in hits(inc.open(), q).collect()} == set(model)
 
 
+def test_composed_query_over_incremental_core(spark, tmp_path):
+    """Interface interchangeability: a MultiGenIndex (built from two
+    commits, one row updated) is a drop-in core for the multi-core
+    composed-query algebra — same semi-join answer as the session-built
+    cores in test_composed.py::test_join_query."""
+    from pyspark.sql import types as T
+
+    from meresco_lucene_spark.compose.composedquery import (
+        ComposedQuery,
+        execute_composed,
+    )
+    from meresco_lucene_spark.index.builder import InvertedIndex
+    from tests.test_composed import A_ROWS, B_ROWS, _schema
+
+    lng, s = T.LongType(), T.StringType()
+    a_schema = _schema(
+        [("doc_id", lng), ("id", s), ("A", lng), ("C", lng),
+         ("M", s), ("Q", s), ("U", s), ("S", s)]
+    )
+    a = spark.createDataFrame(A_ROWS, a_schema)
+    inc = IncrementalIndexStore(
+        spark,
+        str(tmp_path / "coreA"),
+        keyword_cols=["M", "Q", "U", "S"],
+        n_shards=2,
+    )
+    inc.commit_batch(a.filter(F.col("doc_id") < 4))
+    inc.commit_batch(a.filter(F.col("doc_id") >= 4))
+    # re-commit doc 0 unchanged (an upsert) so liveness is exercised
+    inc.commit_batch(a.filter(F.col("doc_id") == 0))
+    core_a = inc.open()
+    assert len(core_a.gens) == 3
+
+    b = spark.createDataFrame(
+        B_ROWS,
+        _schema([("doc_id", lng), ("id", s), ("B", lng), ("D", lng),
+                 ("N", s), ("O", s), ("P", s), ("T", s), ("intField", lng)]),
+    )
+    core_b = InvertedIndex.build(b, id_col="doc_id", keyword_cols=["N", "O", "P", "T"])
+
+    cq = ComposedQuery("coreA", queries={"coreA": Q.matchall()})
+    cq.set_core_query("coreB", Q.term("N", "true"))
+    cq.add_match("coreA", "A", "coreB", "B")
+    r = execute_composed({"coreA": core_a, "coreB": core_b}, cq)
+    lookup = {row[0]: row[1] for row in A_ROWS}
+    assert r.total == 4
+    assert {lookup[h.id] for h in r.hits} == {"A-M", "A-MU", "A-MQ", "A-MQU"}
+
+
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
     the next commit renumbers past it."""
