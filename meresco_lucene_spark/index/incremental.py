@@ -102,6 +102,17 @@ class IncrementalIndexStore:
         all_gens = self._gens(committed_only=False)
         return (all_gens[-1] + 1) if all_gens else 0
 
+    def _clean_crashed(self) -> None:
+        """Wipe generation dirs that lack a _COMMITTED marker (crashed
+        mid-commit). Single-writer is assumed, so any unmarked dir is
+        dead weight — removing it before numbering keeps the docstring's
+        'wiped and renumbered' promise instead of leaking it forever."""
+        for e in os.listdir(self.root):
+            if e.startswith(_GEN_PREFIX):
+                gen_dir = os.path.join(self.root, e)
+                if not os.path.exists(_commit_marker(gen_dir)):
+                    shutil.rmtree(gen_dir, ignore_errors=True)
+
     # ------------------------------------------------------------ commits
     def commit_batch(
         self,
@@ -116,9 +127,9 @@ class IncrementalIndexStore:
         instead of an existence-check join against every older
         generation; a tombstone for an id that never existed matches
         nothing."""
+        self._clean_crashed()
         gen = self._next_gen()
         gen_dir = os.path.join(self.root, _gen_name(gen))
-        shutil.rmtree(gen_dir, ignore_errors=True)  # crashed predecessor
         os.makedirs(gen_dir)
         tomb_ids = None
         if df is not None:
@@ -183,9 +194,9 @@ class IncrementalIndexStore:
         if len(gens) <= 1:
             return gens[0] if gens else -1
         reader = self.open()
+        self._clean_crashed()
         gen = self._next_gen()
         gen_dir = os.path.join(self.root, _gen_name(gen))
-        shutil.rmtree(gen_dir, ignore_errors=True)
         os.makedirs(gen_dir)
         build_index_store(
             reader.forward,
@@ -303,7 +314,8 @@ class MultiGenIndex:
                 st = s.stats[fld]
                 n += st.n_docs
                 sdl += st.sum_dl
-                omit = st.omit_norms
+                omit = omit or st.omit_norms  # any-gen semantics (configs
+                # are fixed at store creation, so this is self-documentation)
         if n == 0:
             return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
         return FieldStats(n_docs=n, sum_dl=sdl, omit_norms=omit)
@@ -312,9 +324,14 @@ class MultiGenIndex:
         return self._live(self._union(lambda s: s.postings_for(fld)))
 
     def lengths_for(self, fld: str) -> DataFrame:
-        # dead docs' lengths are harmless here (only ever joined against
-        # live postings rows) and Lucene keeps their norms anyway
-        return self._union(lambda s: s.lengths_for(fld)).drop("_gen")
+        # MUST be liveness-filtered: the executor joins postings to
+        # lengths by bare doc_id (executor.py _term_hits/_phrase_hits),
+        # so after an upsert the id has a length row in BOTH its old and
+        # new generation — an unfiltered union duplicates every hit with
+        # a stale-dl score. Lucene semantics: a live doc has exactly one
+        # norm and dead docs never match (delete-then-add,
+        # Lucene.java:166-171).
+        return self._live(self._union(lambda s: s.lengths_for(fld)))
 
     def term_stats_for(self, fld: str) -> DataFrame:
         # df/cf SUM across generations INCLUDING dead docs (Lucene

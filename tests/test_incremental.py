@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from meresco_lucene_spark.index.incremental import (
     IncrementalIndexStore,
     MultiGenIndex,
+    _commit_marker,
 )
 from meresco_lucene_spark.index.store import build_index_store
 from meresco_lucene_spark.query.executor import hits
@@ -265,9 +266,13 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
             r["doc_id"]: r["text"] for r in inc.open().forward.collect()
         }
         assert got == model, f"seed {seed}"
-        # every live doc matches the shared token; no ghost matches
+        # every live doc matches the shared token EXACTLY ONCE (lists,
+        # not sets — the round-3 lengths_for bug duplicated upserted
+        # hits and a set comparison collapsed the duplicates)
         q = Q.term("text", f"w{seed}")
-        assert {r["doc_id"] for r in hits(inc.open(), q).collect()} == set(model)
+        ids = [r["doc_id"] for r in hits(inc.open(), q).collect()]
+        assert sorted(ids) == sorted(set(ids)), f"seed {seed}: duplicate hits"
+        assert set(ids) == set(model)
 
 
 def test_composed_query_over_incremental_core(spark, tmp_path):
@@ -321,7 +326,8 @@ def test_composed_query_over_incremental_core(spark, tmp_path):
 
 def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     """A crashed commit (gen dir without _COMMITTED) must not surface;
-    the next commit renumbers past it."""
+    the next commit WIPES the debris and reuses its number (single
+    writer), so half-written dirs never leak on disk."""
     root = str(tmp_path / "inc")
     inc = IncrementalIndexStore(spark, root, **CFG)
     inc.commit_batch(docs.filter(F.col("doc_id") < 10))
@@ -329,5 +335,70 @@ def test_uncommitted_generation_invisible(spark, docs, tmp_path):
     multi = inc.open()
     assert multi.gens == [0]
     g = inc.commit_batch(docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)))
-    assert g == 2  # renumbered past the debris
+    assert g == 1  # debris wiped, number reused
+    assert os.path.exists(
+        _commit_marker(os.path.join(root, "gen-000001"))
+    )
     assert inc.open().num_docs() == 20
+
+
+def test_upsert_hit_multiplicity_and_live_dl_scores(spark, tmp_path):
+    """Regression for the round-3 wrong-answer bug: after an upsert the
+    updated doc was returned TWICE per query (term AND phrase) with one
+    stale-dl score, because MultiGenIndex.lengths_for skipped the
+    liveness filter while the executor joins postings to lengths on
+    bare doc_id. Asserts hit MULTIPLICITY (lists, never sets) and the
+    exact live-dl BM25 score. Reference contract: one norm per live doc,
+    dead docs never match (delete-then-add, Lucene.java:166-171)."""
+    import numpy as np
+
+    from meresco_lucene_spark.query.bm25 import bm25_score_numpy
+
+    rows = [(i, f"alpha beta unique{i} filler word", "en") for i in range(8)]
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(
+        spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    )
+    # upsert doc 5: still matches "alpha beta", but with a much longer
+    # body so the stale (short) dl would produce a visibly different score
+    new_text = "alpha beta " + " ".join(f"pad{j}" for j in range(20))
+    inc.commit_batch(
+        spark.createDataFrame(
+            [(5, new_text, "en")], "doc_id long, text string, lang string"
+        )
+    )
+    multi = inc.open()
+
+    # lengths_for is the buggy surface itself: exactly one row per live doc
+    dl_rows = multi.lengths_for("text").filter(F.col("doc_id") == 5).collect()
+    assert len(dl_rows) == 1, f"duplicate length rows: {dl_rows}"
+    live_dl = dl_rows[0]["dl"]
+    assert live_dl > 5  # the LIVE (long) version, not the stale one
+
+    for q in (Q.term("text", "alpha"), Q.phrase("text", "alpha", "beta")):
+        got = [(r["doc_id"], r["score"]) for r in hits(multi, q).collect()]
+        ids = [d for d, _ in got]
+        assert sorted(ids) == sorted(set(ids)), f"duplicate hits: {got}"
+        assert set(ids) == set(range(8))
+
+    # exact live-dl score for the upserted doc (stats include the dead
+    # version until merge: n_docs=9, df counts both generations)
+    st = multi.field_stats("text")
+    df_alpha = {
+        r["term"]: r["df"] for r in multi.term_stats_for("text").collect()
+    }["alpha"]
+    assert df_alpha == 9
+    expected = float(
+        bm25_score_numpy(
+            np.array([1.0]), np.array([float(df_alpha)]),
+            np.array([float(live_dl)]),
+            st.n_docs, st.sum_dl / st.n_docs, k1=multi.k1, b=multi.b,
+        )[0]
+    )
+    got5 = [
+        r["score"]
+        for r in hits(multi, Q.term("text", "alpha")).collect()
+        if r["doc_id"] == 5
+    ]
+    assert len(got5) == 1
+    assert abs(got5[0] - expected) < 1e-9
