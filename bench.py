@@ -148,6 +148,17 @@ def run_suite(spark, sf_dir: str, n_corpus: int) -> dict:
 
         t, inc = timed(_inc_commits)
         rec("inc_three_commits", t)
+        # refresh cost of an UPDATE batch (delete-then-add): re-commit 10%
+        # of the ids with changed text — the liveness tombstone path
+        t, _ = timed(
+            lambda: inc.commit_batch(
+                docs.filter(F.col("doc_id") < max(n_docs // 10, 1)).withColumn(
+                    "text", F.concat(F.col("text"), F.lit(" zzupdated"))
+                )
+            )
+        )
+        rec("inc_upsert_commit", t)
+        # union reader over 4 generations WITH live tombstones in the plan
         t, _ = timed(
             lambda: hits(inc.open(), Q.term("text", "spark"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -251,23 +251,34 @@ def q_suggest_spellcheck(spark: SparkSession, sf_dir: str, get_idx=get_index) ->
 
 
 def q_similar_documents(spark: SparkSession, sf_dir: str, get_idx=get_index) -> DataFrame:
-    """O12 similarDocuments (MLT): query doc's terms with
-    df <= 0.1*N (CommonTermsQuery maxFreq 0.1, Lucene.java:818-846),
-    OR over other docs, ranked by count of shared rare terms."""
+    """O12 similarDocuments (MLT): seed doc's terms with df <= 0.1*N
+    (CommonTermsQuery maxFreq 0.1, Lucene.java:818-846), OR over other
+    docs, ranked by count of shared rare terms.
+
+    The seed is the LOWEST doc id sharing a rare term (2 <= df <= 0.1*N)
+    with any other doc — deterministic at every sf and non-empty by
+    construction (the earlier fixed seed 7 shared no rare terms at
+    sf0.01, so the entry verified 0 == 0 rows). Restricting seed-term
+    expansion to df >= 2 changes nothing: a df=1 term only matches the
+    seed itself, which is excluded."""
     idx = get_idx(spark, sf_dir)
     n = idx.n_docs
+    rare = (
+        idx.term_stats_for("text")
+        .filter((F.col("df") >= 2) & (F.col("df") <= 0.1 * n))
+        .select("term")
+    )
+    rare_post = idx.postings_for("text").join(
+        F.broadcast(rare), "term", "left_semi"
+    )
+    sd = rare_post.agg(F.min("doc_id")).collect()[0][0]
     seed_terms = (
-        idx.postings_for("text")
-        .filter(F.col("doc_id") == 7)
-        .select("term")
-        .join(idx.term_stats_for("text"), "term")
-        .filter(F.col("df") <= 0.1 * n)
-        .select("term")
+        rare_post.filter(F.col("doc_id") == sd).select("term").distinct()
     )
     return (
         idx.postings_for("text")
         .join(F.broadcast(seed_terms), "term", "left_semi")
-        .filter(F.col("doc_id") != 7)
+        .filter(F.col("doc_id") != sd)
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("shared_terms"))
         .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
@@ -1047,12 +1058,18 @@ QUERIES.update(
 )
 
 # inc_* entries: the SAME queries served from an INCREMENTALLY-COMMITTED
-# store (index/incremental.py): three disjoint append commits, each
-# tokenizing only its batch, read through the MultiGenIndex union
-# reader. Disjoint appends sum to the exact global df/cf/n_docs/avgdl,
-# so results — scores included — must equal the one-shot build's and the
-# base oracles apply unchanged (the reference's addDocument+commit
-# cycle, Lucene.java:920-945).
+# store (index/incremental.py). The fixture exercises the FULL liveness
+# surface (the reference's addDocument/updateDocument/deleteDocument +
+# commit cycle, Lucene.java:166-181 + :920-945): three disjoint append
+# commits, then an UPSERT commit (ids < _INC_UPSERT_HI re-committed with
+# ' zzupdated' appended — delete-then-add), then a DELETE commit (ids in
+# [_INC_DELETE_LO, _INC_DELETE_HI)). Scoring stats keep counting the
+# superseded/deleted versions until merge (Lucene docFreq semantics), so
+# the oracles model the whole (doc, generation) corpus, live and dead —
+# an append-only fixture cannot catch tombstone or length bugs; this one
+# does by construction.
+_INC_UPSERT_HI = 20
+_INC_DELETE_LO, _INC_DELETE_HI = 490, 500
 _INC_STORE_CACHE: dict[tuple[int, str], str] = {}
 
 
@@ -1074,6 +1091,12 @@ def get_incremental_index(spark: SparkSession, sf_dir: str):
             inc.commit_batch(
                 df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
             )
+        inc.commit_batch(  # upsert: changed text AND changed doc length
+            df.filter(F.col("doc_id") < _INC_UPSERT_HI).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" zzupdated"))
+            )
+        )
+        inc.delete(list(range(_INC_DELETE_LO, _INC_DELETE_HI)))
         _INC_STORE_CACHE[key] = root
     from meresco_lucene_spark.index.incremental import MultiGenIndex
 
@@ -1094,6 +1117,71 @@ QUERIES.update(
 )
 
 
+def q_cdc_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CDC chain in one entry: a real file-source stream of
+    three micro-batches (originals, an identical resend, an edit) runs
+    through versioned_updates (applyInPandasWithState no-op suppression)
+    INTO stream_ingest_incremental (per-batch durable index commits),
+    and the resulting MultiGenIndex answers a scored term query. The
+    resend commits NOTHING (suppressed before the index, the operator's
+    whole point); the edit supersedes the originals via tombstones while
+    df/dl stats keep counting them until merge — so the oracle is BM25
+    over the explicit (doc, generation) corpus with only edited rows
+    live. This chain is exactly the round-3 upsert path that the
+    lengths_for liveness bug broke."""
+    import os as _os
+    import tempfile
+
+    from meresco_lucene_spark.index.incremental import MultiGenIndex
+    from meresco_lucene_spark.streaming.ingest import stream_ingest_incremental
+    from meresco_lucene_spark.streaming.stateful import versioned_updates
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    d = tempfile.mkdtemp(prefix="mls_cdc_")
+    src = _os.path.join(d, "in")
+    batches = [
+        docs,
+        docs,  # identical resend -> suppressed, commits no generation
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" edited"))),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if f.endswith(".parquet") and _os.path.getmtime(p) > i:
+                _os.utime(p, (i + 1, i + 1))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store, q = stream_ingest_incremental(
+        versioned_updates(stream, state_ttl_ms=0).drop("version"),
+        _os.path.join(d, "store"),
+        checkpoint_dir=_os.path.join(d, "ckpt"),
+        auto_merge_tier=8,  # tiered trigger wired in; 2 gens stay unmerged
+        text_cols=["text"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    multi = store.open()
+    assert isinstance(multi, MultiGenIndex)
+    return (
+        hits(multi, Q.term("text", "edited"))
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["cdc_incremental_query"] = q_cdc_incremental_query
+
+
 def _with_shipping(fn):
     """Every driver entry must work when it is the FIRST (or only) call
     of a consumer session: operators whose hot path is a pandas UDF
@@ -1111,6 +1199,52 @@ def _with_shipping(fn):
 
 
 QUERIES = {name: _with_shipping(fn) for name, fn in QUERIES.items()}
+
+# ---------------------------------------------------------- sweep order
+# The driver oracle-checks exactly the FIRST 50 keys of QUERIES in dict
+# order. _SWEEP_ORDER pins positions 0-49 so that every operator family,
+# both store paths (session InvertedIndex + durable PersistentIndex),
+# the composed-query algebra over durable stores (seg_cq_*), and the
+# whole incremental/CDC subsystem (inc_*, cdc_*) have oracle rows each
+# round. Entries after position 49 stay registered and are swept by
+# tests/test_entry_oracle.py; each is either a strict semantics twin of
+# an in-window entry (same executor code path) or a rows-only entry
+# whose guarantees live in pytest. Guarded by tests/test_entry_sweep.py.
+_SWEEP_ORDER = [
+    # session-index singles (one per operator family)
+    "term_bm25_top10", "bool_must_top10", "bool_should_top10",
+    "bool_filter_top10", "matchall_count", "facet_drilldown",
+    "prefix_search_terms", "suggest_spellcheck", "distance_within",
+    "cql_boolean",
+    # streaming / stateful / CDC
+    "ingest_latest_state", "events_windowed_counts",
+    "stateful_versioned_updates", "cdc_incremental_query",
+    # suggestions (session + durable)
+    "suggest_ngram", "seg_suggest_ngram",
+    # composed queries (session cores)
+    "cq_join_semi", "cq_join_anti", "cq_unite", "cq_rank_blend",
+    "cq_join_facet", "cq_relational_not",
+    # dedup / ANN / text pipeline (oracle-checked subset)
+    "dd_exact", "dd_prefix_fingerprint", "dd_ngram_jaccard",
+    "dd_minhash_lsh", "dd_embedding_cosine", "ann_cosine_top10",
+    "text_token_count", "text_quality", "text_lang_id",
+    "text_fingerprint",
+    # durable-store singles (every family whose base twin is past 49)
+    "seg_term_bm25_top10", "seg_phrase_match", "seg_prefix_docs",
+    "seg_range_numeric", "seg_facet_lang", "seg_dedup_by_lang",
+    "seg_sort_paginate", "seg_similar_documents",
+    # composed queries over durable stores
+    "seg_cq_join_semi", "seg_cq_join_anti", "seg_cq_unite",
+    "seg_cq_rank_blend", "seg_cq_join_facet", "seg_cq_relational_not",
+    # incremental commits (upsert + delete liveness fixture)
+    "inc_term_bm25_top10", "inc_bool_must_top10", "inc_phrase_match",
+    "inc_facet_lang",
+]
+assert len(_SWEEP_ORDER) == 50 and set(_SWEEP_ORDER) <= set(QUERIES)
+QUERIES = {
+    name: QUERIES[name]
+    for name in (*_SWEEP_ORDER, *(k for k in QUERIES if k not in set(_SWEEP_ORDER)))
+}
 
 
 # -------------------------------------------------------------- oracle SQL
@@ -1510,12 +1644,14 @@ ORDER BY dist ASC, doc_freq DESC, term ASC LIMIT 10
 """,
     "similar_documents": ORACLE_PRELUDE
     + """
-, seed AS (
-  SELECT tf.term FROM tf JOIN dfreq USING (term) CROSS JOIN cs
-  WHERE tf.doc_id = 7 AND dfreq.df <= 0.1 * cs.n
-)
+, rare AS (
+  SELECT tf.doc_id, tf.term FROM tf JOIN dfreq USING (term) CROSS JOIN cs
+  WHERE dfreq.df >= 2 AND dfreq.df <= 0.1 * cs.n
+), seedsel AS (SELECT min(doc_id) AS sd FROM rare),
+seed AS (SELECT DISTINCT term FROM rare CROSS JOIN seedsel WHERE doc_id = sd)
 SELECT tf.doc_id, count(*)::BIGINT AS shared_terms
-FROM tf WHERE tf.term IN (SELECT term FROM seed) AND tf.doc_id <> 7
+FROM tf CROSS JOIN seedsel
+WHERE tf.term IN (SELECT term FROM seed) AND tf.doc_id <> sd
 GROUP BY tf.doc_id
 ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
 """,
@@ -1525,10 +1661,93 @@ ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
 # produce byte-identical results to the DataFrame path.
 for _seg_name in list(_SEG_BASE) + list(_SEG_CQ_BASE):
     ORACLES[_seg_name] = ORACLES[_seg_name[len("seg_"):]]
-# inc_* entries share them too: the incrementally-committed union reader
-# must answer byte-identically to the one-shot build (disjoint appends).
-for _inc_name in _INC_BASE:
-    ORACLES[_inc_name] = ORACLES[_inc_name[len("inc_"):]]
+
+
+def _gen_corpus_prelude(corpus_sql: str) -> str:
+    """BM25 oracle prelude over an explicit (doc, generation) corpus with
+    a `live` flag — the incremental store's pre-merge scoring contract:
+    n/avgdl/df aggregate over ALL versions (dead included, Lucene
+    docFreq-counts-deleted semantics) while only live rows may match."""
+    return (
+        "WITH corpus AS ("
+        + corpus_sql
+        + """
+), tok AS (
+  SELECT doc_id, gen, unnest(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+')) AS term
+  FROM corpus
+), tf AS (SELECT doc_id, gen, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, gen, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
+cs AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+live AS (SELECT doc_id, gen FROM corpus WHERE live),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (cs.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / cs.avgdl)) AS score
+  FROM tf JOIN dl USING (doc_id, gen) JOIN live USING (doc_id, gen)
+  CROSS JOIN cs JOIN dfreq USING (term)
+)
+""".replace("{k1}", str(K1_DEFAULT)).replace("{b}", str(B_DEFAULT))
+    )
+
+
+# inc_* oracles model the fixture's generation history explicitly:
+# originals at gen 0 (dead if upserted or deleted), upserted versions at
+# gen 1 (live). An append-only alias of the base oracles would be wrong
+# here — and could not catch liveness bugs.
+_INC_DEAD = (
+    f"(doc_id < {_INC_UPSERT_HI} "
+    f"OR (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI}))"
+)
+_INC_CORPUS = f"""
+  SELECT doc_id, 0 AS gen, text, NOT {_INC_DEAD} AS live FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS gen, text || ' zzupdated', TRUE AS live
+  FROM documents WHERE doc_id < {_INC_UPSERT_HI}
+"""
+ORACLES["inc_term_bm25_top10"] = _gen_corpus_prelude(_INC_CORPUS) + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'spark'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+ORACLES["inc_bool_must_top10"] = _gen_corpus_prelude(_INC_CORPUS) + """
+, comb AS (
+  SELECT doc_id, sum(score) AS score, count(*) AS nm
+  FROM scored WHERE term IN ('merge', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM comb WHERE nm = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+# the appended ' zzupdated' token cannot create or break an internal
+# 'fast table' adjacency, so live upserted docs match iff their original
+# text did; deleted docs never match.
+ORACLES["inc_phrase_match"] = f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(strip_accents(text)),
+  '(^|[^a-z0-9_])fast[^a-z0-9_]+table([^a-z0-9_]|$)')
+  AND NOT (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI})
+ORDER BY doc_id
+"""
+# facets count LIVE docs only (forward liveness); upserts keep lang.
+ORACLES["inc_facet_lang"] = f"""
+SELECT lang AS term, count(*)::BIGINT AS count FROM documents
+WHERE lang IS NOT NULL
+  AND NOT (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI})
+GROUP BY lang ORDER BY count DESC, term ASC
+"""
+# cdc_incremental_query: gen 0 = originals (all superseded by the edit
+# batch -> dead), gen 1 = edited (live); the suppressed resend commits
+# no generation so it appears nowhere.
+ORACLES["cdc_incremental_query"] = _gen_corpus_prelude("""
+  SELECT doc_id, 0 AS gen, text, FALSE AS live FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id, 1 AS gen, text || ' edited', TRUE AS live
+  FROM documents WHERE doc_id < 40
+""") + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'edited'
+ORDER BY doc_id
+"""
 # durable suggestion store must answer identically to the session build
 # (cluster_top_docs stays rows-only: DBSCAN/PageRank are not
 # SQL-expressible; goldens live in pytest).

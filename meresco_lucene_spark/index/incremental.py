@@ -39,6 +39,17 @@ Crash safety: a commit is invisible until its _COMMITTED marker exists
 (written last, via atomic rename), so a crash mid-commit leaves older
 readers consistent; a crashed gen dir is wiped and renumbered by the
 next commit.
+
+FILESYSTEM ASSUMPTION (applies to all three commit protocols in this
+repo — the gen-dir ``_COMMITTED`` markers here, IngestSink's
+``epoch=N/_SUCCESS`` gating (streaming/ingest.py), and the suggestion
+store's ``CURRENT`` pointer swap (suggest.py)): visibility is gated on
+an ATOMIC RENAME, which POSIX filesystems and HDFS provide but object
+stores (S3 et al.) do not — there, rename is copy+delete and readers
+can observe half-commits. Pointing a store root at an object store
+needs a real commit-log abstraction (an Iceberg/Delta-style catalog
+transaction) in place of the rename; tracked as the Iceberg backlog
+item, fine for local/HDFS deployments.
 """
 
 from __future__ import annotations

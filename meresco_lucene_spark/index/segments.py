@@ -224,6 +224,47 @@ def auto_n_shards(
     return int(min(max(need, floor, 1), 65536))
 
 
+def pin_build_config(
+    out_dir: str,
+    resume: bool,
+    n_shards: int | None,
+    salt_buckets: int,
+    derive,
+) -> tuple[int, int]:
+    """Resolve (n_shards, salt_buckets) for a sharded build and PERSIST
+    the choice (atomic rename) before any sharded write.
+
+    auto_n_shards floors at the session's defaultParallelism, so the
+    value is NOT a pure function of the corpus: resuming a crashed build
+    on a session/cluster with different parallelism would re-derive a
+    different n_shards and silently mix two pmod(xxhash64, n) shard
+    mappings — done shards kept under the old mapping, remaining shards
+    encoded under the new one, postings duplicated or lost (ADVICE r3).
+    A resumed build therefore reads the pinned value back; an explicit
+    n_shards that conflicts with the pinned one is an error."""
+    import json
+
+    cfg_path = os.path.join(out_dir, "_build_config.json")
+    if resume and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        if n_shards is not None and n_shards != cfg["n_shards"]:
+            raise ValueError(
+                f"resume with n_shards={n_shards}, but the interrupted "
+                f"build used {cfg['n_shards']} ({cfg_path}); the shard "
+                "mapping is fixed for the lifetime of a build"
+            )
+        return int(cfg["n_shards"]), int(cfg["salt_buckets"])
+    if n_shards is None:
+        n_shards = derive()
+    salt_buckets = min(salt_buckets, n_shards)
+    tmp = cfg_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": n_shards, "salt_buckets": salt_buckets}, f)
+    os.replace(tmp, cfg_path)
+    return n_shards, salt_buckets
+
+
 def build_segments(
     corpus: DataFrame,
     out_dir: str,
@@ -301,12 +342,14 @@ def build_segments(
     n_docs, sum_dl, min_dl = int(agg["n"]), int(agg["s"]), int(agg["m"])
     avgdl = sum_dl / n_docs if n_docs else 1.0
 
-    # Auto-shard from the occurrence count (sum of doc lengths). A pure
-    # function of the corpus, so a resumed build re-derives the same
-    # value; explicit n_shards overrides (tests, pinned-plan benches).
-    if n_shards is None:
-        n_shards = auto_n_shards(sum_dl, spark.sparkContext.defaultParallelism)
-    salt_buckets = min(salt_buckets, n_shards)
+    # Auto-shard from the occurrence count (sum of doc lengths), floored
+    # at the session's parallelism — then PINNED to disk so a resume on
+    # a different session keeps the same shard mapping (pin_build_config
+    # docstring); explicit n_shards overrides (tests, pinned-plan benches).
+    n_shards, salt_buckets = pin_build_config(
+        out_dir, resume, n_shards, salt_buckets,
+        lambda: auto_n_shards(sum_dl, spark.sparkContext.defaultParallelism),
+    )
 
     # ---- stage 2: term stats + salting decision -------------------------
     if not (resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS"))):

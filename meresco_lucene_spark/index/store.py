@@ -201,16 +201,21 @@ def build_index_store(
         n_docs = spark.read.parquet(os.path.join(out_dir, "forward")).count()
         # Auto-shard from the materialized occurrence count so one
         # shard's encode frame fits the per-task budget (a metadata-cheap
-        # count over the parquet intermediate; pure function of the
-        # corpus, so resume re-derives the same value). Explicit
-        # n_shards overrides.
-        if n_shards is None:
-            from meresco_lucene_spark.index.segments import auto_n_shards
+        # count over the parquet intermediate), floored at the session's
+        # parallelism — then PINNED to disk so a resume on a different
+        # session keeps the same shard mapping (pin_build_config
+        # docstring). Explicit n_shards overrides.
+        from meresco_lucene_spark.index.segments import (
+            auto_n_shards,
+            pin_build_config,
+        )
 
-            n_shards = auto_n_shards(
+        n_shards, salt_buckets = pin_build_config(
+            out_dir, resume, n_shards, salt_buckets,
+            lambda: auto_n_shards(
                 flat_postings.count(), spark.sparkContext.defaultParallelism
-            )
-        salt_buckets = min(salt_buckets, n_shards)
+            ),
+        )
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
         tstats = (
             flat_postings.groupBy("field", "term")

@@ -313,7 +313,15 @@ def and_topk(
 ) -> DataFrame:
     """Exact conjunctive (MUST) BM25 top-k: candidates driven by the
     rarest term's postings (smallest df — the classic leapfrog), the
-    other terms semi-join down, score = Σ per-term BM25."""
+    other terms semi-join down, score = Σ per-term BM25.
+
+    The exact rescore takes the same candidate-pruned path as or_topk:
+    candidates are bounded by the RAREST term's df, so they normally fit
+    the broadcast cap and the rescore decodes only blocks whose
+    [min_doc, max_doc] range intersects a candidate (sorted-array
+    broadcast + searchsorted) — a conjunction of two common terms no
+    longer decodes every block of both. Above the cap it falls back to
+    the full-scan semi-join (correct, just un-pruned)."""
     terms = list(dfs)
     if not terms:
         return _empty(spark)
@@ -327,9 +335,18 @@ def and_topk(
             "doc_id",
             "left_semi",
         )
-    scored = scores_for_blocks(blocks, dfs, params).join(
-        candidates, "doc_id", "left_semi"
-    )
+    # candidate ids are unique by construction: a doc's postings for a
+    # term live in exactly one (shard, block), so the rarest term's
+    # decode emits each doc once and semi-joins preserve that
+    cand_pdf = candidates.limit(CANDIDATE_BROADCAST_CAP + 1).toPandas()
+    if len(cand_pdf) <= CANDIDATE_BROADCAST_CAP:
+        cand_arr = np.sort(cand_pdf["doc_id"].to_numpy(dtype=np.int64))
+        cand_bc = spark.sparkContext.broadcast(cand_arr)
+        scored = _candidate_scores(blocks, dfs, params, cand_bc)
+    else:
+        scored = scores_for_blocks(blocks, dfs, params).join(
+            candidates, "doc_id", "left_semi"
+        )
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("score").alias("score"))

@@ -55,13 +55,19 @@ class IngestSink:
         every current doc matching the predicate (a Column or SQL string)
         as one commit. Returns the number of docs deleted.
 
-        The matched ids are materialized driver-side once (collect ->
-        createDataFrame) before writing: the tombstone frame must not
-        lazily re-read the epoch=* state glob it is about to extend, and
-        the predicate must not be evaluated twice against moving state.
-        epoch_id defaults to max(existing)+1; an explicit epoch_id that
-        collides with a committed epoch is rejected instead of
-        clobbering it."""
+        Scale-safe: the matched ids are materialized by the tombstone
+        epoch WRITE itself, never collected to the driver — a predicate
+        matching a large fraction of a 100 TB corpus must not OOM it.
+        The no-lazy-self-read invariant still holds because
+        current_state()'s scan is pinned to the EXPLICIT list of epoch
+        dirs existing now (_latest_rows passes paths, not the epoch=*
+        glob), so the write cannot observe the epoch it is creating, and
+        the predicate is evaluated exactly once (one write job). A
+        no-match predicate leaves no committed epoch behind. epoch_id
+        defaults to max(existing)+1; an explicit epoch_id that collides
+        with a committed epoch is rejected instead of clobbering it."""
+        import shutil
+
         existing = self._existing_epochs()
         if epoch_id is None:
             epoch_id = max(existing, default=-1) + 1
@@ -69,14 +75,19 @@ class IngestSink:
             raise ValueError(
                 f"epoch {epoch_id} is already committed in {self.state_dir}"
             )
-        rows = self.current_state().filter(predicate).select(self.id_col).collect()
-        if not rows:
-            return 0
-        tombstones = self.spark.createDataFrame(rows).withColumn(
-            "_deleted", F.lit(True)
+        tombstones = (
+            self.current_state()
+            .filter(predicate)
+            .select(self.id_col)
+            .withColumn("_deleted", F.lit(True))
         )
         self.process_batch(tombstones, epoch_id)
-        return len(rows)
+        out = os.path.join(self.state_dir, f"epoch={epoch_id}")
+        n = self.spark.read.parquet(out).count()
+        if n == 0:
+            shutil.rmtree(out)
+            self.epochs.remove(epoch_id)
+        return n
 
     def _existing_epochs(self) -> list[int]:
         """Committed epochs only: a dir without _SUCCESS is a crashed
@@ -179,13 +190,36 @@ def stream_ingest_incremental(
     (maybe_merge: fold once more than that many generations exist), the
     steady-state analog of the reference's background merges.
 
+    Replay-idempotent: foreachBatch is at-least-once, so after a
+    failure/restart the same epoch_id can be redelivered; the last
+    committed epoch_id is recorded in the store root (atomic rename)
+    and already-seen epochs are skipped — a replayed batch must not
+    become a duplicate generation that double-counts df/cf/n_docs
+    until a merge (IngestSink.process_batch is idempotent per epoch
+    for the same reason).
+
     Returns (store, streaming_query); query results come from
     ``store.open()`` after any commit."""
     from meresco_lucene_spark.index.incremental import IncrementalIndexStore
 
     store = IncrementalIndexStore(stream_df.sparkSession, root, **store_kwargs)
+    epoch_path = os.path.join(root, "_last_stream_epoch")
+
+    def _last_epoch() -> int:
+        if os.path.exists(epoch_path):
+            with open(epoch_path) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _record_epoch(eid: int) -> None:
+        tmp = epoch_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(eid))
+        os.replace(tmp, epoch_path)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _last_epoch():
+            return  # at-least-once replay of an already committed batch
         cols = batch_df.columns
         if "_seq" in cols:
             w = Window.partitionBy(id_col).orderBy(F.col("_seq").desc())
@@ -208,6 +242,8 @@ def stream_ingest_incremental(
             store.commit_batch(adds, delete_ids=dels or None, id_col=id_col)
             if auto_merge_tier is not None:
                 store.maybe_merge(segments_per_tier=auto_merge_tier)
+        # recorded even for empty batches: the epoch was fully processed
+        _record_epoch(epoch_id)
 
     writer = stream_df.writeStream.outputMode("append").foreachBatch(_commit)
     if checkpoint_dir:

@@ -36,7 +36,7 @@ def _content_hash(text: str | None) -> str:
     return hashlib.sha256((text or "").encode()).hexdigest()
 
 
-def _versioner(state_ttl_ms: int):
+def _versioner(state_ttl_ms: int, seq_col: str | None = None):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -50,15 +50,26 @@ def _versioner(state_ttl_ms: int):
         version, last_hash = (
             state.get if state.exists else (-1, "")
         )
-        out_rows = []
+        # A micro-batch may hold SEVERAL updates for one id; pandas
+        # chunk order is arbitrary, so without a sequence column the
+        # version order would be nondeterministic (ADVICE r3). With
+        # seq_col the key's rows are totalled-ordered before hashing.
+        texts = []
         for pdf in pdfs:
-            for text in pdf["text"]:
-                h = _content_hash(text)
-                if h == last_hash:
-                    continue  # no-op update suppressed
-                version += 1
-                last_hash = h
-                out_rows.append((int(key[0]), version, text))
+            if seq_col is not None:
+                texts.extend(zip(pdf[seq_col], pdf["text"]))
+            else:
+                texts.extend(pdf["text"])
+        if seq_col is not None:
+            texts = [t for _, t in sorted(texts, key=lambda p: p[0])]
+        out_rows = []
+        for text in texts:
+            h = _content_hash(text)
+            if h == last_hash:
+                continue  # no-op update suppressed
+            version += 1
+            last_hash = h
+            out_rows.append((int(key[0]), version, text))
         state.update((version, last_hash))
         if state_ttl_ms > 0:
             state.setTimeoutDuration(state_ttl_ms)
@@ -71,17 +82,22 @@ def versioned_updates(
     stream_df: DataFrame,
     id_col: str = "doc_id",
     state_ttl_ms: int = 3_600_000,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Assign per-id versions and drop no-op updates across
     micro-batches. Input needs (doc_id, text); output is
     (doc_id, version, text) with version starting at 0 per id and only
-    content-changing rows emitted. Feed the output to
+    content-changing rows emitted. Pass ``seq_col`` (a timestamp or
+    sequence column) when one micro-batch can carry several updates for
+    the same id — each key's rows are sorted by it before versioning,
+    making the version order deterministic. Feed the output to
     stream_ingest_incremental for an idempotent ingest chain."""
-    keyed = stream_df.select(
-        F.col(id_col).cast("long").alias("doc_id"), "text"
-    ).groupBy("doc_id")
+    cols = [F.col(id_col).cast("long").alias("doc_id"), "text"]
+    if seq_col is not None:
+        cols.append(seq_col)
+    keyed = stream_df.select(*cols).groupBy("doc_id")
     return keyed.applyInPandasWithState(
-        _versioner(state_ttl_ms),
+        _versioner(state_ttl_ms, seq_col),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",

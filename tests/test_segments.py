@@ -285,3 +285,17 @@ def test_auto_sharded_build_queries_identically(spark, tmp_path):
     ra = [(r.doc_id, round(r.score, 9)) for r in a.term_topk("import", 10).collect()]
     rb = [(r.doc_id, round(r.score, 9)) for r in b.term_topk("import", 10).collect()]
     assert ra == rb
+
+
+@pytest.mark.parametrize("op", ["or", "and"])
+def test_multi_topk_fallback_above_broadcast_cap(spark, seg, op, monkeypatch):
+    """Both rescore paths must stay rank-identical when the candidate
+    set exceeds CANDIDATE_BROADCAST_CAP and the pruned broadcast path
+    falls back to the full-scan semi-join."""
+    import meresco_lucene_spark.index.wand as wand
+
+    monkeypatch.setattr(wand, "CANDIDATE_BROADCAST_CAP", 0)
+    terms = ["import", "return"]
+    fn = seg.or_topk if op == "or" else seg.and_topk
+    got = [(r.doc_id, round(r.score, 9)) for r in fn(terms, 10).collect()]
+    assert got == exhaustive_multi_topk(spark, seg, terms, op)

@@ -337,3 +337,24 @@ def test_hot_term_salting_splits_blocks(spark, tmp_path):
         for r in disk.postings_for("text").filter(F.col("term") == "common").collect()
     }
     assert got == {i: 1 for i in range(n)}
+
+
+def test_pin_build_config_resume_keeps_shard_mapping(tmp_path):
+    """ADVICE r3: auto n_shards floors at the session's parallelism, so
+    a resume on a different cluster would re-derive a different value
+    and mix two shard mappings. The pinned _build_config.json wins on
+    resume; a conflicting explicit n_shards is an error."""
+    import pytest as _pytest
+
+    from meresco_lucene_spark.index.segments import pin_build_config
+
+    n, s = pin_build_config(str(tmp_path), False, None, 8, lambda: 7)
+    assert (n, s) == (7, 7)
+    # "different cluster": derive would now say 13 — pinned value wins
+    assert pin_build_config(str(tmp_path), True, None, 8, lambda: 13) == (7, 7)
+    # explicit n_shards matching the pin is fine; a conflict raises
+    assert pin_build_config(str(tmp_path), True, 7, 8, lambda: 13) == (7, 7)
+    with _pytest.raises(ValueError, match="shard mapping"):
+        pin_build_config(str(tmp_path), True, 13, 8, lambda: 13)
+    # a FRESH (non-resume) build re-pins
+    assert pin_build_config(str(tmp_path), False, 4, 8, lambda: 99) == (4, 4)
