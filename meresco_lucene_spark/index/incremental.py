@@ -144,9 +144,12 @@ class IncrementalIndexStore:
         os.makedirs(gen_dir)
         tomb_ids = None
         if df is not None:
+            # lineage=False: generation stores are wiped on crash, never
+            # shard-resumed, so the lineage pass is pure fixed overhead
+            # on the per-commit refresh cost
             build_index_store(
                 df, os.path.join(gen_dir, "store"), id_col=id_col,
-                **self.build_kwargs,
+                lineage=False, **self.build_kwargs,
             )
             tomb_ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
         if delete_ids:
@@ -215,6 +218,7 @@ class IncrementalIndexStore:
             id_col="doc_id",
             occurrences=reader.live_occurrences(),
             lengths=reader.live_lengths(),
+            lineage=False,
             **self.build_kwargs,
         )
         reader.forward.select("doc_id").distinct().write.mode(

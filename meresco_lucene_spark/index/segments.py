@@ -212,15 +212,23 @@ def auto_n_shards(
     floor: int,
     row_bytes: int = OCC_ROW_BYTES,
     target_bytes: int = ENCODE_TARGET_BYTES,
+    min_occ_per_shard: int = 4096,
 ) -> int:
     """Pick n_shards from the estimated occurrence volume: enough shards
     that one shard's encode frame fits the per-task budget, at least
-    `floor` (use the cluster's default parallelism so small corpora still
+    `floor` (use the cluster's default parallelism so sizable corpora
     use every core), capped at 65536 (file-count sanity; beyond that,
-    raise target_bytes instead)."""
+    raise target_bytes instead).
+
+    The floor itself is capped at ceil(occ / min_occ_per_shard): a TINY
+    build — an incremental batch commit most of all — must not be padded
+    out to parallelism-many near-empty shards, which cost a task each at
+    encode and a parquet footer each on EVERY later read of the
+    generation (the union reader multiplies that by the gen count)."""
     import math
 
     need = math.ceil(max(n_occurrences, 1) * row_bytes / target_bytes)
+    floor = min(floor, math.ceil(max(n_occurrences, 1) / min_occ_per_shard))
     return int(min(max(need, floor, 1), 65536))
 
 

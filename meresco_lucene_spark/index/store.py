@@ -133,6 +133,7 @@ def build_index_store(
     run_id: str = "run0",
     occurrences: DataFrame | None = None,
     lengths: DataFrame | None = None,
+    lineage: bool = True,
 ) -> "PersistentIndex":
     """Build the persistent store: one tokenize+agg pass materialized to
     a parquet intermediate (no in-memory caching of the positions-heavy
@@ -153,7 +154,14 @@ def build_index_store(
     precomputed frames (occurrences: field, term, doc_id, pos; lengths:
     field, doc_id, dl, norm_dl) — the generation-merge path re-encodes
     decoded postings WITHOUT re-tokenizing (Lucene's merge copies
-    postings, it never re-analyzes: index/incremental.py)."""
+    postings, it never re-analyzes: index/incremental.py).
+
+    ``lineage=False`` skips the shard-lineage pass (a full re-read +
+    hash + write of the encoded postings). Queries never touch lineage —
+    it exists only for shard-level RESUME — so builds that are wiped on
+    crash rather than resumed (incremental generation commits) drop a
+    whole job of fixed overhead per commit; a later resume=True of such
+    a store simply re-encodes from scratch."""
     import shutil
 
     from meresco_lucene_spark.index.builder import occurrence_frames
@@ -426,13 +434,14 @@ def build_index_store(
                 _encode, schema=STORE_POSTINGS_SCHEMA
             )
             encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
+        if remaining and lineage:
             # lineage: one row per completed shard; content hash is an
             # order-independent modular SUM of per-block xxhash64 (a
             # SUM, unlike XOR, does not cancel duplicated blocks)
             written = spark.read.parquet(post_dir).filter(
                 F.col("shard").isin(remaining)
             )
-            lineage = (
+            lineage_df = (
                 written.withColumn(
                     "_h",
                     F.xxhash64(
@@ -459,7 +468,7 @@ def build_index_store(
                     F.lit(run_id).alias("run_id"),
                 )
             )
-            lineage.write.mode("append").parquet(lin_dir)
+            lineage_df.write.mode("append").parquet(lin_dir)
 
         meta = {
             "n_docs": n_docs,

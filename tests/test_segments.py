@@ -257,15 +257,18 @@ def test_resume_noop_when_complete(spark, tmp_path):
 
 def test_auto_n_shards_bounds():
     """Memory bound: occurrences/n_shards * OCC_ROW_BYTES <= target
-    whenever the 65536 cap doesn't bind; floor keeps small corpora on
-    all cores."""
+    whenever the 65536 cap doesn't bind; the floor keeps sizable corpora
+    on all cores but is itself capped so a tiny build (an incremental
+    batch commit) isn't padded with near-empty shards."""
     from meresco_lucene_spark.index.segments import (
         ENCODE_TARGET_BYTES,
         OCC_ROW_BYTES,
         auto_n_shards,
     )
 
-    assert auto_n_shards(1_000, floor=8) == 8
+    assert auto_n_shards(1_000, floor=8) == 1  # tiny: one real shard
+    assert auto_n_shards(20_000, floor=8) == 5  # ceil(20k/4096)
+    assert auto_n_shards(100_000, floor=8) == 8  # floor binds
     for occ in (10**7, 10**9, 10**11):
         n = auto_n_shards(occ, floor=8)
         if n < 65536:
@@ -281,7 +284,11 @@ def test_auto_sharded_build_queries_identically(spark, tmp_path):
     b = build_segments(
         corpus, str(tmp_path / "fixed"), n_shards=4, salt_buckets=2, block_size=16
     )
-    assert a.meta["n_shards"] == spark.sparkContext.defaultParallelism
+    from meresco_lucene_spark.index.segments import auto_n_shards
+
+    assert a.meta["n_shards"] == auto_n_shards(
+        a.meta["sum_dl"], spark.sparkContext.defaultParallelism
+    )
     ra = [(r.doc_id, round(r.score, 9)) for r in a.term_topk("import", 10).collect()]
     rb = [(r.doc_id, round(r.score, 9)) for r in b.term_topk("import", 10).collect()]
     assert ra == rb
