@@ -261,29 +261,14 @@ def q_similar_documents(spark: SparkSession, sf_dir: str, get_idx=get_index) -> 
     sf0.01, so the entry verified 0 == 0 rows). Restricting seed-term
     expansion to df >= 2 changes nothing: a df=1 term only matches the
     seed itself, which is excluded."""
+    from meresco_lucene_spark.query.executor import (
+        mlt_seed_doc,
+        similar_documents_df,
+    )
+
     idx = get_idx(spark, sf_dir)
-    n = idx.n_docs
-    rare = (
-        idx.term_stats_for("text")
-        .filter((F.col("df") >= 2) & (F.col("df") <= 0.1 * n))
-        .select("term")
-    )
-    rare_post = idx.postings_for("text").join(
-        F.broadcast(rare), "term", "left_semi"
-    )
-    sd = rare_post.agg(F.min("doc_id")).collect()[0][0]
-    seed_terms = (
-        rare_post.filter(F.col("doc_id") == sd).select("term").distinct()
-    )
-    return (
-        idx.postings_for("text")
-        .join(F.broadcast(seed_terms), "term", "left_semi")
-        .filter(F.col("doc_id") != sd)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("shared_terms"))
-        .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
-        .limit(10)
-    )
+    sd = mlt_seed_doc(idx, "text", max_freq=0.1)
+    return similar_documents_df(idx, sd, "text", max_freq=0.1, k=10)
 
 
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -508,6 +508,66 @@ def search(
     )
 
 
+def similar_documents_df(
+    index: InvertedIndex,
+    doc_id: int,
+    field: str = "text",
+    max_freq: float = 0.1,
+    k: int = 10,
+) -> DataFrame:
+    """O12 similarDocuments (MLT): the seed doc's terms with
+    df <= max_freq * N (the reference's CommonTermsQuery maxFreq,
+    Lucene.java:818-846), OR'd over other docs, ranked by the count of
+    shared rare terms. Returns (doc_id, shared_terms) top-k.
+
+    Plan shape: the seed's rare-term set is broadcast (bounded by one
+    doc's vocabulary), the candidate scan is one semi-join over postings
+    with the term filter pushed to the scan, and the top-k is a
+    TakeOrderedAndProject — no full shuffle at any corpus size."""
+    n = index.n_docs
+    seed_terms = (
+        index.postings_for(field)
+        .filter(F.col("doc_id") == doc_id)
+        .select("term")
+        .join(index.term_stats_for(field), "term")
+        .filter(F.col("df") <= max_freq * n)
+        .select("term")
+        .distinct()
+    )
+    return (
+        index.postings_for(field)
+        .join(F.broadcast(seed_terms), "term", "left_semi")
+        .filter(F.col("doc_id") != doc_id)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("shared_terms"))
+        .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def mlt_seed_doc(
+    index: InvertedIndex, field: str = "text", max_freq: float = 0.1
+) -> int | None:
+    """Lowest doc id that shares a rare term (2 <= df <= max_freq * N)
+    with at least one OTHER doc — a deterministic, guaranteed-nontrivial
+    MLT seed for fixtures and demos (df >= 2 means some other doc holds
+    the term; df = 1 terms can't contribute matches anyway). Returns
+    None when no such doc exists."""
+    n = index.n_docs
+    rare = (
+        index.term_stats_for(field)
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_freq * n))
+        .select("term")
+    )
+    row = (
+        index.postings_for(field)
+        .join(F.broadcast(rare), "term", "left_semi")
+        .agg(F.min("doc_id"))
+        .collect()[0]
+    )
+    return None if row[0] is None else int(row[0])
+
+
 def facet_counts(index: InvertedIndex, hits_df: DataFrame, facet: dict) -> dict:
     """One facet dim's counts (FacetSuperCollector.java:43-99 merged form).
 
