@@ -194,19 +194,38 @@ def build_index_store(
         # the shard encode (tf + position lists are derived vectorized
         # inside the whole-shard numpy encode, which sorts anyway); every
         # later stage reads the parquet back instead of recomputing.
+        # Row counts (n_docs, occurrence volume for auto-sharding) ride
+        # the write jobs as Observations instead of separate count jobs —
+        # at 100 TB a count is cheap relative to the write, but for a
+        # SMALL batch commit every extra job is fixed latency on the
+        # refresh path. Resumed (skipped) stages fall back to counting
+        # the existing parquet.
+        from pyspark.sql import Observation
+
+        flat_obs = fwd_obs = None
         if not _stage_done(flat_dir):
-            occurrences_lazy.write.mode("overwrite").parquet(flat_dir)
+            flat_obs = Observation()
+            occurrences_lazy.observe(
+                flat_obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(flat_dir)
         flat_postings = spark.read.parquet(flat_dir)
 
         if not _stage_done(os.path.join(out_dir, "forward")):
-            forward.write.mode("overwrite").parquet(os.path.join(out_dir, "forward"))
+            fwd_obs = Observation()
+            forward.observe(fwd_obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "forward"))
         # field lengths: second codegen tokenize pass, shuffle-free —
         # cheaper than joining against the postings shuffle.
         if not _stage_done(os.path.join(out_dir, "field_lengths")):
             lengths_lazy.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "field_lengths")
             )
-        n_docs = spark.read.parquet(os.path.join(out_dir, "forward")).count()
+        n_docs = (
+            int(fwd_obs.get["n"])
+            if fwd_obs is not None
+            else spark.read.parquet(os.path.join(out_dir, "forward")).count()
+        )
         # Auto-shard from the materialized occurrence count so one
         # shard's encode frame fits the per-task budget (a metadata-cheap
         # count over the parquet intermediate), floored at the session's
@@ -221,7 +240,9 @@ def build_index_store(
         n_shards, salt_buckets = pin_build_config(
             out_dir, resume, n_shards, salt_buckets,
             lambda: auto_n_shards(
-                flat_postings.count(), spark.sparkContext.defaultParallelism
+                int(flat_obs.get["n"]) if flat_obs is not None
+                else flat_postings.count(),
+                spark.sparkContext.defaultParallelism,
             ),
         )
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
