@@ -17,6 +17,7 @@ HOW is idiomatic Spark.
 """
 
 from meresco_lucene_spark.session import get_spark
+from meresco_lucene_spark.core import LuceneCore
 from meresco_lucene_spark.index.builder import InvertedIndex
 from meresco_lucene_spark.query.ir import Q
 from meresco_lucene_spark.query.executor import LuceneResponse, search
@@ -26,6 +27,7 @@ from meresco_lucene_spark.compose.relational import RQ
 
 __all__ = [
     "get_spark",
+    "LuceneCore",
     "InvertedIndex",
     "Q",
     "LuceneResponse",

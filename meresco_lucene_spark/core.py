@@ -1,0 +1,473 @@
+"""LuceneCore — the reference's per-core ``Lucene`` API in one class.
+
+A user of the reference talks to a core through the client `Lucene`
+class (meresco/lucene/_lucene.py:75-170) whose calls become HTTP posts
+to the Java server (Lucene.java:166-349). This facade collapses that
+client+server pair into one in-process object over the incremental
+store, so reference call sites port almost verbatim:
+
+    core = LuceneCore(spark, "/data/core", name="main")
+    core.addDocument(identifier="id1",
+                     fields=[{"type": "TextField", "name": "title",
+                              "value": "fast table engines"}])
+    core.commit()
+    r = core.executeQuery({"type": "TermQuery",
+                           "term": {"field": "title", "value": "fast"}})
+    r.hits[0].id  # -> "id1"
+
+Semantics preserved (and where they live):
+  addDocument  = updateDocument: delete-then-add by identifier
+                 (Lucene.java:166-171); buffered until commitCount ops
+                 or an explicit commit() (commit policy,
+                 Lucene.java:183-214, LuceneSettings commitCount)
+  delete       = by identifier (Lucene.java:173-176) or by query
+                 (Lucene.java:178-181)
+  executeQuery = query/filterQueries/facets/sortKeys/start/stop/dedup/
+                 storedFields/suggestionRequest in one pass
+                 (Lucene.java:247-349) — executor.search does the work
+  prefixSearch / fieldnames / drilldownFieldnames / similarDocuments /
+  numDocs      = Lucene.java:629-666, :763-774, :818-846
+
+Identifiers are strings (the reference's ``__id__`` term); internally
+doc_id = xxhash64(identifier) — deterministic across sessions, and the
+identifier itself is stored and indexed as a keyword field, so
+``Q.term("__id__", identifier)`` filters work as in the reference.
+(A 64-bit hash collision would alias two identifiers; at reference
+corpus scales the probability is negligible, and the store keys on the
+hash exactly once per identifier.)
+
+Field-type mapping (reference fieldregistry.py:171-232):
+  TextField                        -> analyzed text column
+  StringField / NoTermsFrequencyField / KeyField -> keyword column
+  IntField/LongField/IntPoint/LongPoint/NumericField -> long column
+  DoubleField/DoublePoint          -> double column
+  FacetField                       -> keyword column + single-level dim
+The column spec is derived from the FIRST commit and pinned beside the
+store config (field typing is fixed at creation, like the reference's
+field registry), so later sessions reopen with the identical schema.
+
+Deliberately driver-bound (parity-faithful, documented): the write
+buffer lives on the driver like the reference's in-process document
+queue — bulk loads should go through streaming/ingest.py or
+commit_batch(DataFrame) directly, not one addDocument per row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from meresco_lucene_spark.index.incremental import (
+    IncrementalIndexStore,
+    MultiGenIndex,
+)
+from meresco_lucene_spark.query.executor import (
+    LuceneResponse,
+    mlt_seed_doc,
+    search,
+    similar_documents_df,
+)
+from meresco_lucene_spark.query.ir import Q
+
+_DELETED = object()
+
+_TEXT_TYPES = {"TextField"}
+_KEYWORD_TYPES = {"StringField", "NoTermsFrequencyField", "KeyField"}
+_LONG_TYPES = {"IntField", "LongField", "IntPoint", "LongPoint", "NumericField"}
+_DOUBLE_TYPES = {"DoubleField", "DoublePoint"}
+_FACET_TYPES = {"FacetField"}
+
+ID_FIELD = "__id__"
+
+
+class LuceneCore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str = "core",
+        commit_count: int = 1000,
+        segments_per_tier: int = 8,
+        **settings: Any,
+    ):
+        """``settings`` go to the store build (k1/b/similarity/quantized/
+        n_shards...) — the reference's LuceneSettings surface. The store
+        lives under root/name, one dir per core like the reference's
+        per-core index dirs."""
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(root, name)
+        os.makedirs(self.root, exist_ok=True)
+        self.commit_count = commit_count
+        self.segments_per_tier = segments_per_tier
+        self._settings = dict(settings)
+        # last-write-wins op buffer: identifier -> field dict | _DELETED
+        self._buffer: dict[str, Any] = {}
+        self._fields_path = os.path.join(self.root, "_core_fields.json")
+        self._fields_spec: dict[str, str] | None = None
+        if os.path.exists(self._fields_path):
+            with open(self._fields_path) as f:
+                self._fields_spec = json.load(f)
+        self._store: IncrementalIndexStore | None = None
+        self._reader: MultiGenIndex | None = None
+
+    # ------------------------------------------------------------ writes
+    def addDocument(
+        self, fields: Sequence[dict] | dict, identifier: str | None = None
+    ) -> None:
+        """fields: the reference wire format — a list of
+        {"type", "name", "value"} dicts (FieldRegistry.createField
+        output) — or a plain {name: value} dict (types inferred from the
+        pinned spec / python types). identifier=None gets a synthetic
+        one (the reference allows identifier-less adds)."""
+        if identifier is None:
+            identifier = f"_anon:{len(self._buffer)}:{os.urandom(4).hex()}"
+        self._buffer[str(identifier)] = self._normalize_fields(fields)
+        if len(self._buffer) >= self.commit_count:
+            self.commit()
+
+    def delete(self, identifier: str | None = None, luceneQuery=None) -> None:
+        """Delete by identifier, or by query (deleteDocuments(query),
+        Lucene.java:178-181). Query deletes commit pending ops first,
+        then tombstone every matching id — matched ids pass through the
+        driver (parity with the reference's sequential writer; bulk
+        predicate deletes at scale belong to IngestSink.delete_where's
+        frame-write path)."""
+        if identifier is not None:
+            self._buffer[str(identifier)] = _DELETED
+            if len(self._buffer) >= self.commit_count:
+                self.commit()
+            return
+        if luceneQuery is None:
+            raise ValueError("specify either 'identifier' or 'luceneQuery'")
+        self.commit()
+        reader = self._open()
+        if reader is None:
+            return
+        from meresco_lucene_spark.query.executor import hits
+
+        ids = [
+            r[0]
+            for r in hits(reader, self._as_q(luceneQuery))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        ]
+        if ids:
+            self._ensure_store().delete(ids)
+            self._reader = None
+
+    def commit(self) -> int | None:
+        """Flush the op buffer as ONE durable generation commit (adds
+        upsert, deletes tombstone), then run the tiered-merge trigger —
+        the searchable-snapshot refresh (Lucene.java:920-945)."""
+        if not self._buffer:
+            return None
+        adds = {i: f for i, f in self._buffer.items() if f is not _DELETED}
+        dels = [i for i, f in self._buffer.items() if f is _DELETED]
+        self._buffer.clear()
+        store = self._ensure_store(sample=next(iter(adds.values())) if adds else None)
+        adds_df = self._frame(adds) if adds else None
+        del_ids = self._hash_ids(dels) if dels else None
+        gen = store.commit_batch(adds_df, delete_ids=del_ids)
+        store.maybe_merge(segments_per_tier=self.segments_per_tier)
+        self._reader = None
+        return gen
+
+    # ------------------------------------------------------------- reads
+    def executeQuery(
+        self,
+        luceneQuery,
+        start: int | None = None,
+        stop: int | None = None,
+        facets: Sequence[dict] | None = None,
+        sortKeys: Sequence[dict] | None = None,
+        filterQueries: Sequence | None = None,
+        excludeQueries: Sequence | None = None,
+        suggestionRequest: dict | None = None,
+        dedupField: str | None = None,
+        dedupSortField=None,
+        storedFields: Sequence[str] | None = None,
+        **kwargs: Any,
+    ) -> LuceneResponse:
+        """The reference's one-pass query (client _lucene.py:97-130 →
+        Lucene.java:247-349). luceneQuery / filterQueries entries are Q
+        nodes or reference JSON query dicts. Hit.id is the string
+        identifier, as the reference returns."""
+        reader = self._open()
+        if reader is None:
+            return LuceneResponse(total=0, hits=[])
+        dedup_sort = []
+        if dedupSortField:
+            dedup_sort = [
+                dedupSortField
+                if isinstance(dedupSortField, dict)
+                else {"sortBy": dedupSortField, "sortDescending": True}
+            ]
+        stored = list(storedFields or [])
+        resp = search(
+            reader,
+            self._as_q(luceneQuery),
+            filter_queries=[self._as_q(q) for q in (filterQueries or [])],
+            exclude_queries=[self._as_q(q) for q in (excludeQueries or [])],
+            start=start or 0,
+            stop=10 if stop is None else stop,
+            sort_keys=sortKeys,
+            facets=facets or (),
+            dedup_field=dedupField,
+            dedup_sort_fields=dedup_sort,
+            stored_fields=[*stored, ID_FIELD],
+        )
+        for h in resp.hits:
+            h.id = h.fields.pop(ID_FIELD, h.id)
+        if suggestionRequest:
+            resp.suggestions = self._suggest(reader, suggestionRequest)
+        return resp
+
+    def prefixSearch(
+        self, fieldname: str, prefix: str, showCount: bool = False, limit: int = 10
+    ) -> LuceneResponse:
+        """Top terms by docFreq under a prefix (Lucene.java:629-666;
+        client sorts by count desc, _lucene.py:132-143)."""
+        reader = self._open()
+        if reader is None:
+            return LuceneResponse(total=0, hits=[])
+        rows = (
+            reader.term_stats_for(fieldname)
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(limit)
+            .collect()
+        )
+        out = [
+            (r["term"], int(r["df"])) if showCount else r["term"] for r in rows
+        ]
+        return LuceneResponse(total=len(out), hits=out)
+
+    def fieldnames(self) -> LuceneResponse:
+        reader = self._open()
+        names = reader.fieldnames() if reader else []
+        return LuceneResponse(total=len(names), hits=names)
+
+    def drilldownFieldnames(self, path=None, limit: int = 50) -> LuceneResponse:
+        """Registered drilldown dims; with a path, the next level's
+        values (Lucene.java:763-774 flattened over facet_fields)."""
+        reader = self._open()
+        if reader is None:
+            return LuceneResponse(total=0, hits=[])
+        if not path:
+            names = sorted(reader.facet_fields)[:limit]
+            return LuceneResponse(total=len(names), hits=names)
+        dim, rest = path[0], list(path[1:])
+        cols = reader.facet_fields.get(dim, [dim])
+        if len(rest) >= len(cols):
+            return LuceneResponse(total=0, hits=[])
+        fwd = reader.forward
+        for c, v in zip(cols, rest):
+            fwd = fwd.filter(F.col(c) == v)
+        level = cols[len(rest)]
+        vals = [
+            r[0]
+            for r in fwd.filter(F.col(level).isNotNull())
+            .select(level)
+            .distinct()
+            .orderBy(level)
+            .limit(limit)
+            .collect()
+        ]
+        return LuceneResponse(total=len(vals), hits=vals)
+
+    def similarDocuments(
+        self, identifier: str, max_freq: float = 0.1
+    ) -> LuceneResponse:
+        """MLT by identifier (Lucene.java:818-846): rare-term overlap
+        ranking via the shared operator; hits carry identifiers.
+        max_freq is the reference's CommonTermsQuery maxFreq cutoff —
+        note it admits NO terms on corpora smaller than ~1/max_freq
+        docs (df <= max_freq*N < 1), exactly as in the reference."""
+        reader = self._open()
+        if reader is None:
+            return LuceneResponse(total=0, hits=[])
+        doc_id = self._hash_ids([identifier])[0]
+        field = None
+        if self._fields_spec:
+            field = next(
+                (n for n, k in self._fields_spec.items() if k == "text"), None
+            )
+        if field is None:
+            field = next(
+                (f for f in reader.fieldnames() if f != ID_FIELD), None
+            )
+        if field is None:
+            return LuceneResponse(total=0, hits=[])
+        sim = similar_documents_df(reader, doc_id, field, max_freq=max_freq)
+        rows = (
+            sim.join(reader.forward.select("doc_id", ID_FIELD), "doc_id")
+            .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
+            .collect()
+        )
+        from meresco_lucene_spark.query.executor import Hit
+
+        hits_out = [
+            Hit(id=r[ID_FIELD], score=float(r["shared_terms"])) for r in rows
+        ]
+        return LuceneResponse(total=len(hits_out), hits=hits_out)
+
+    def numDocs(self) -> int:
+        """LIVE doc count (the reference's IndexWriter.numDocs excludes
+        deletions — unlike MultiGenIndex.num_docs(), which keeps
+        counting dead docs because pre-merge SCORING does)."""
+        reader = self._open()
+        return reader.forward.count() if reader else 0
+
+    def coreInfo(self):
+        return {"name": self.name, "numDocs": self.numDocs()}
+
+    # --------------------------------------------------------- internals
+    def _ensure_store(self, sample: dict | None = None) -> IncrementalIndexStore:
+        if self._store is not None:
+            return self._store
+        if os.path.exists(os.path.join(self.root, "_config.json")):
+            self._store = IncrementalIndexStore(self.spark, self.root)
+            return self._store
+        if self._fields_spec is None:
+            if sample is None:
+                raise ValueError("first commit must contain at least one add")
+            self._fields_spec = {
+                name: kind for name, (kind, _) in sample.items()
+            }
+            tmp = self._fields_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._fields_spec, f)
+            os.replace(tmp, self._fields_path)
+        text_cols = [n for n, k in self._fields_spec.items() if k == "text"]
+        keyword_cols = [ID_FIELD] + [
+            n for n, k in self._fields_spec.items() if k in ("keyword", "facet")
+        ]
+        facet_dims = {
+            n: [n] for n, k in self._fields_spec.items() if k == "facet"
+        }
+        self._store = IncrementalIndexStore(
+            self.spark,
+            self.root,
+            text_cols=text_cols,
+            keyword_cols=keyword_cols,
+            facet_fields=facet_dims,
+            **self._settings,
+        )
+        return self._store
+
+    def _open(self) -> MultiGenIndex | None:
+        if self._reader is None:
+            try:
+                self._reader = self._ensure_store().open()
+            except ValueError:  # no committed generation yet
+                return None
+        return self._reader
+
+    def _normalize_fields(self, fields) -> dict[str, tuple[str, Any]]:
+        """-> {name: (kind, value)} with kind in text/keyword/long/
+        double/facet."""
+        out: dict[str, tuple[str, Any]] = {}
+        if isinstance(fields, dict):
+            for name, value in fields.items():
+                kind = (
+                    self._fields_spec.get(name)
+                    if self._fields_spec
+                    else None
+                )
+                if kind is None:
+                    kind = (
+                        "long"
+                        if isinstance(value, int) and not isinstance(value, bool)
+                        else "double"
+                        if isinstance(value, float)
+                        else "text"
+                    )
+                out[name] = (kind, value)
+            return out
+        for fd in fields:
+            t, name, value = fd["type"], fd["name"], fd["value"]
+            if t in _TEXT_TYPES:
+                kind = "text"
+            elif t in _KEYWORD_TYPES:
+                kind = "keyword"
+            elif t in _LONG_TYPES:
+                kind, value = "long", int(value)
+            elif t in _DOUBLE_TYPES:
+                kind, value = "double", float(value)
+            elif t in _FACET_TYPES:
+                kind = "facet"
+            else:
+                raise ValueError(f"unsupported field type {t!r}")
+            out[name] = (kind, value)
+        return out
+
+    def _frame(self, adds: dict[str, dict]):
+        spec = self._fields_spec or {}
+        for ident, flds in adds.items():
+            for name, (kind, _) in flds.items():
+                if name not in spec:
+                    raise ValueError(
+                        f"field {name!r} not in the core's pinned field set "
+                        f"{sorted(spec)} (field typing is fixed at core "
+                        "creation, like the reference registry)"
+                    )
+        sql_type = {"text": "string", "keyword": "string", "facet": "string",
+                    "long": "long", "double": "double"}
+        schema = f"{ID_FIELD} string, " + ", ".join(
+            f"`{n}` {sql_type[k]}" for n, k in spec.items()
+        )
+        rows = [
+            tuple(
+                [ident]
+                + [
+                    flds[n][1] if n in flds else None
+                    for n in spec
+                ]
+            )
+            for ident, flds in adds.items()
+        ]
+        return self.spark.createDataFrame(rows, schema).withColumn(
+            "doc_id", F.xxhash64(F.col(ID_FIELD))
+        )
+
+    def _hash_ids(self, identifiers: list[str]) -> list[int]:
+        if not identifiers:
+            return []
+        df = self.spark.createDataFrame(
+            [(i,) for i in identifiers], f"{ID_FIELD} string"
+        )
+        return [
+            r[0] for r in df.select(F.xxhash64(F.col(ID_FIELD))).collect()
+        ]
+
+    def _as_q(self, q) -> Q:
+        return Q.from_dict(q) if isinstance(q, dict) else q
+
+    def _suggest(self, reader, req: dict) -> dict[str, list[str]]:
+        """DirectSpellChecker analog (Lucene.java:804-812,
+        SUGGEST_WHEN_NOT_IN_INDEX): for each word, top-count terms of
+        the field within levenshtein distance 2, by (distance asc,
+        docFreq desc); words already in the index get no suggestions."""
+        field = req["field"]
+        count = int(req.get("count", 10))
+        stats = reader.term_stats_for(field)
+        out: dict[str, list[str]] = {}
+        for word in req.get("suggests", []):
+            if stats.filter(F.col("term") == word).limit(1).count() > 0:
+                out[word] = []
+                continue
+            rows = (
+                stats.withColumn("_d", F.levenshtein(F.col("term"), F.lit(word)))
+                .filter(F.col("_d") <= 2)
+                .orderBy(F.col("_d").asc(), F.col("df").desc(), F.col("term").asc())
+                .limit(count)
+                .collect()
+            )
+            out[word] = [r["term"] for r in rows]
+        return out

@@ -337,6 +337,7 @@ class LuceneResponse:
     totalWithDuplicates: int | None = None
     drilldownData: list[dict] = dc_field(default_factory=list)
     keys: list | None = None  # exported key set (composed queries)
+    suggestions: dict | None = None  # spellcheck per word (LuceneCore)
 
 
 def _missing_value_order(col: Column, descending: bool, missing_value: Any) -> Column:

@@ -1,0 +1,152 @@
+"""LuceneCore facade (core.py): the reference's client `Lucene` API
+(_lucene.py:75-170) driven the way reference call sites drive it —
+wire-format field dicts, JSON query dicts, identifier-keyed updates and
+deletes, one-pass executeQuery with facets/sort/dedup/suggestions."""
+
+import pytest
+
+from meresco_lucene_spark.core import LuceneCore
+from meresco_lucene_spark.query.ir import MUST, Q
+
+DOCS = [
+    ("id:1", "fast table engines win", "en", 10),
+    ("id:2", "slow table engines lose", "en", 20),
+    ("id:3", "fast vector engines win", "de", 30),
+]
+
+
+def _fields(text, lang, n):
+    return [
+        {"type": "TextField", "name": "body", "value": text},
+        {"type": "FacetField", "name": "lang", "value": lang},
+        {"type": "IntField", "name": "n", "value": n},
+    ]
+
+
+@pytest.fixture()
+def core(spark, tmp_path):
+    c = LuceneCore(spark, str(tmp_path), name="main", n_shards=2)
+    for ident, text, lang, n in DOCS:
+        c.addDocument(identifier=ident, fields=_fields(text, lang, n))
+    c.commit()
+    return c
+
+
+def test_add_commit_query_returns_identifiers(core):
+    r = core.executeQuery(
+        {"type": "TermQuery", "term": {"field": "body", "value": "fast"}}
+    )
+    assert r.total == 2
+    assert {h.id for h in r.hits} == {"id:1", "id:3"}
+    assert all(h.score > 0 for h in r.hits)
+
+
+def test_update_is_delete_then_add(core):
+    core.addDocument(
+        identifier="id:1", fields=_fields("zznew body only", "en", 11)
+    )
+    core.commit()
+    assert core.numDocs() == 3
+    r = core.executeQuery(Q.term("body", "fast"))
+    assert {h.id for h in r.hits} == {"id:3"}
+    r = core.executeQuery(Q.term("body", "zznew"))
+    assert {h.id for h in r.hits} == {"id:1"}
+
+
+def test_delete_by_identifier_and_by_query(core):
+    core.delete(identifier="id:2")
+    core.commit()
+    assert core.numDocs() == 2
+    core.delete(
+        luceneQuery={"type": "TermQuery", "term": {"field": "body", "value": "vector"}}
+    )
+    assert core.numDocs() == 1
+    r = core.executeQuery(Q.matchall())
+    assert {h.id for h in r.hits} == {"id:1"}
+
+
+def test_execute_query_full_surface(core):
+    r = core.executeQuery(
+        Q.boolean((MUST, Q.term("body", "engines"))),
+        facets=[{"fieldname": "lang", "maxTerms": 10}],
+        sortKeys=[{"sortBy": "n", "sortDescending": True}],
+        storedFields=["n"],
+        stop=2,
+    )
+    assert r.total == 3
+    assert [h.id for h in r.hits] == ["id:3", "id:2"]  # n desc, page 2
+    assert r.hits[0].fields["n"] == 30
+    terms = {t["term"]: t["count"] for t in r.drilldownData[0]["terms"]}
+    assert terms == {"en": 2, "de": 1}
+
+
+def test_dedup_field(core):
+    r = core.executeQuery(Q.matchall(), dedupField="lang")
+    assert r.totalWithDuplicates == 3
+    assert r.total == 2
+    counts = {h.id: h.duplicateCount for h in r.hits}
+    assert sum(counts.values()) == 3
+
+
+def test_prefix_search_and_fieldnames(core):
+    r = core.prefixSearch("body", "en", showCount=True)
+    assert r.hits == [("engines", 3)]
+    names = core.fieldnames().hits
+    assert "body" in names and "lang" in names
+    assert core.drilldownFieldnames().hits == ["lang"]
+    assert set(core.drilldownFieldnames(path=["lang"]).hits) == {"en", "de"}
+
+
+def test_suggestion_request(core):
+    r = core.executeQuery(
+        Q.matchall(),
+        suggestionRequest=dict(suggests=["tabel"], count=2, field="body"),
+    )
+    assert r.suggestions == {"tabel": ["table"]}
+    # a word already in the index gets no suggestions (SUGGEST_WHEN_NOT_IN_INDEX)
+    r = core.executeQuery(
+        Q.matchall(),
+        suggestionRequest=dict(suggests=["table"], count=2, field="body"),
+    )
+    assert r.suggestions == {"table": []}
+
+
+def test_similar_documents_by_identifier(spark, tmp_path):
+    """MLT needs a corpus big enough that df <= max_freq*N admits
+    shared terms (the reference's CommonTermsQuery maxFreq cutoff
+    behaves identically): 25 docs, two of them sharing a rare term."""
+    c = LuceneCore(spark, str(tmp_path), name="mlt", n_shards=2)
+    for i in range(25):
+        extra = " zzrare" if i in (1, 2) else ""
+        c.addDocument(
+            identifier=f"id:{i}",
+            fields=[{"type": "TextField", "name": "body",
+                     "value": f"common words doc{i}{extra}"}],
+        )
+    c.commit()
+    r = c.similarDocuments("id:1")
+    ids = [h.id for h in r.hits]
+    assert "id:2" in ids and "id:1" not in ids
+
+
+def test_auto_commit_at_commit_count(spark, tmp_path):
+    c = LuceneCore(spark, str(tmp_path), name="auto", commit_count=2, n_shards=2)
+    c.addDocument(identifier="a", fields=[{"type": "TextField", "name": "t", "value": "one doc"}])
+    assert c.numDocs() == 0  # buffered, not yet searchable
+    c.addDocument(identifier="b", fields=[{"type": "TextField", "name": "t", "value": "two doc"}])
+    assert c.numDocs() == 2  # commit_count reached -> auto-commit
+
+
+def test_reopen_in_new_handle(spark, tmp_path, core):
+    fresh = LuceneCore(spark, str(tmp_path), name="main")
+    r = fresh.executeQuery(Q.term("body", "table"))
+    assert {h.id for h in r.hits} == {"id:1", "id:2"}
+
+
+def test_unknown_field_rejected(core):
+    core.addDocument(
+        identifier="id:9",
+        fields=[{"type": "TextField", "name": "other", "value": "x"}],
+    )
+    with pytest.raises(ValueError, match="pinned field set"):
+        core.commit()
