@@ -17,7 +17,7 @@ HOW is idiomatic Spark.
 """
 
 from meresco_lucene_spark.session import get_spark
-from meresco_lucene_spark.core import LuceneCore
+from meresco_lucene_spark.core import LuceneCore, MultiLuceneSpark
 from meresco_lucene_spark.index.builder import InvertedIndex
 from meresco_lucene_spark.query.ir import Q
 from meresco_lucene_spark.query.executor import LuceneResponse, search
@@ -28,6 +28,7 @@ from meresco_lucene_spark.compose.relational import RQ
 __all__ = [
     "get_spark",
     "LuceneCore",
+    "MultiLuceneSpark",
     "InvertedIndex",
     "Q",
     "LuceneResponse",

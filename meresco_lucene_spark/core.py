@@ -449,6 +449,12 @@ class LuceneCore:
     def _as_q(self, q) -> Q:
         return Q.from_dict(q) if isinstance(q, dict) else q
 
+    def reader(self) -> MultiGenIndex | None:
+        """The core's current searchable snapshot (None before the first
+        commit) — the handle MultiLuceneSpark feeds to the composed-query
+        executor, and the escape hatch to the full DataFrame surface."""
+        return self._open()
+
     def _suggest(self, reader, req: dict) -> dict[str, list[str]]:
         """DirectSpellChecker analog (Lucene.java:804-812,
         SUGGEST_WHEN_NOT_IN_INDEX): for each word, top-count terms of
@@ -471,3 +477,45 @@ class LuceneCore:
             )
             out[word] = [r["term"] for r in rows]
         return out
+
+
+class MultiLuceneSpark:
+    """The reference's MultiLucene observable (multilucene.py:39-75):
+    routes single-core queries to a named core and composed (cross-core)
+    queries to the key-join executor. Holds LuceneCore handles the way
+    the reference holds per-core HTTP connections.
+
+        multi = MultiLuceneSpark({"coreA": a, "coreB": b}, default_core="coreA")
+        multi.executeQuery(Q.term("f", "v"))              # default core
+        multi.executeQuery(core="coreB", luceneQuery=q)   # routed
+        multi.executeComposedQuery(cq)                    # MultiLucene.java:100-193
+    """
+
+    def __init__(self, cores: dict[str, LuceneCore], default_core: str):
+        if default_core not in cores:
+            raise ValueError(f"default core {default_core!r} not in cores")
+        self.cores = dict(cores)
+        self.default_core = default_core
+
+    def executeQuery(self, luceneQuery=None, core: str | None = None, **kwargs):
+        return self.cores[core or self.default_core].executeQuery(
+            luceneQuery, **kwargs
+        )
+
+    def executeComposedQuery(self, query, export_key: str | None = None):
+        """Single-core fast path when only the result core participates
+        (multilucene.py:53-61 delegates likewise); otherwise the full
+        key-join algebra over every core's current snapshot."""
+        from meresco_lucene_spark.compose.composedquery import execute_composed
+
+        readers = {}
+        for name, c in self.cores.items():
+            r = c.reader()
+            if r is not None:
+                readers[name] = r
+        if query.result_from not in readers:
+            return LuceneResponse(total=0, hits=[])
+        return execute_composed(readers, query, export_key=export_key)
+
+    def coreInfo(self):
+        return [c.coreInfo() for c in self.cores.values()]

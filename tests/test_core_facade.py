@@ -150,3 +150,47 @@ def test_unknown_field_rejected(core):
     )
     with pytest.raises(ValueError, match="pinned field set"):
         core.commit()
+
+
+def test_multi_lucene_composed_query(spark, tmp_path):
+    """MultiLuceneSpark routes single-core queries by core name and runs
+    composed key-join queries over every core's current snapshot — the
+    reference's MultiLucene observable (multilucene.py:39-75) with
+    LuceneCore handles in place of HTTP connections."""
+    from meresco_lucene_spark.compose.composedquery import ComposedQuery
+    from meresco_lucene_spark.core import MultiLuceneSpark
+
+    a = LuceneCore(spark, str(tmp_path), name="coreA", n_shards=2)
+    for i in range(6):
+        a.addDocument(
+            identifier=f"a:{i}",
+            fields=[
+                {"type": "TextField", "name": "ta", "value": f"alpha doc {i}"},
+                {"type": "LongField", "name": "K", "value": i},
+            ],
+        )
+    a.commit()
+    b = LuceneCore(spark, str(tmp_path), name="coreB", n_shards=2)
+    for i in range(6):
+        b.addDocument(
+            identifier=f"b:{i}",
+            fields=[
+                {"type": "StringField", "name": "flag",
+                 "value": "true" if i % 2 == 0 else "false"},
+                {"type": "LongField", "name": "K", "value": i},
+            ],
+        )
+    b.commit()
+
+    multi = MultiLuceneSpark({"coreA": a, "coreB": b}, default_core="coreA")
+    r = multi.executeQuery(Q.term("ta", "alpha"))
+    assert r.total == 6
+    r = multi.executeQuery(core="coreB", luceneQuery=Q.term("flag", "true"))
+    assert r.total == 3
+
+    cq = ComposedQuery("coreA", queries={"coreA": Q.matchall()})
+    cq.set_core_query("coreB", Q.term("flag", "true"))
+    cq.add_match("coreA", "K", "coreB", "K")
+    r = multi.executeComposedQuery(cq)
+    assert r.total == 3  # coreA docs whose K joins a flag=true coreB doc
+    assert len(r.hits) == 3
