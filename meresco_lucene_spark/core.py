@@ -192,15 +192,25 @@ class LuceneCore:
         dedupField: str | None = None,
         dedupSortField=None,
         storedFields: Sequence[str] | None = None,
+        clustering: bool = False,
+        clusterConfig=None,
         **kwargs: Any,
     ) -> LuceneResponse:
         """The reference's one-pass query (client _lucene.py:97-130 →
         Lucene.java:247-349). luceneQuery / filterQueries entries are Q
         nodes or reference JSON query dicts. Hit.id is the string
-        identifier, as the reference returns."""
+        identifier, as the reference returns. clustering=True returns
+        ClusterHit-shaped hits (topTerms/topDocs per representative,
+        Lucene.java:365-414) using clusterConfig or a default
+        single-strategy config over the core's first text field."""
         reader = self._open()
         if reader is None:
             return LuceneResponse(total=0, hits=[])
+        if clustering:
+            return self._clustered(
+                reader, luceneQuery, filterQueries, excludeQueries,
+                start or 0, 10 if stop is None else stop, clusterConfig,
+            )
         dedup_sort = []
         if dedupSortField:
             dedup_sort = [
@@ -448,6 +458,87 @@ class LuceneCore:
 
     def _as_q(self, q) -> Q:
         return Q.from_dict(q) if isinstance(q, dict) else q
+
+    def _clustered(
+        self, reader, luceneQuery, filterQueries, excludeQueries,
+        start: int, stop: int, clusterConfig,
+    ) -> LuceneResponse:
+        """The reference's clusterTopDocsResponse walk
+        (Lucene.java:365-414): cluster the stop+clusterMoreRecords top
+        slice, then emit one ClusterHit per unseen score-ordered doc —
+        the cluster's PageRank representative with topTerms and
+        identifier-resolved topDocs, plain hits for noise docs."""
+        from meresco_lucene_spark.query.clustering import (
+            ClusterConfig,
+            ClusterStrategy,
+            cluster_top_docs_strategies,
+        )
+        from meresco_lucene_spark.query.executor import Hit, scored_hits_df
+
+        if clusterConfig is None:
+            field = next(
+                (n for n, k in (self._fields_spec or {}).items() if k == "text"),
+                None,
+            )
+            if field is None:
+                raise ValueError("clustering needs a clusterConfig or a text field")
+            clusterConfig = ClusterConfig(cluster_more_records=100).add_strategy(
+                ClusterStrategy(clustering_eps=0.4, clustering_min_points=1)
+                .add_field(field, 1.0)
+            )
+        h = scored_hits_df(
+            reader,
+            self._as_q(luceneQuery),
+            filter_queries=[self._as_q(q) for q in (filterQueries or [])],
+            exclude_queries=[self._as_q(q) for q in (excludeQueries or [])],
+        ).persist()
+        try:
+            total = h.count()
+            clusters = cluster_top_docs_strategies(
+                reader, h, clusterConfig, stop=stop - start, total_hits=total
+            )
+            cluster_of = {
+                ds.doc_id: c for c in clusters for ds in c.topDocs
+            }
+            slice_rows = (
+                h.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(stop + clusterConfig.cluster_more_records)
+                .collect()
+            )
+        finally:
+            h.unpersist()
+        ids = {r["doc_id"] for r in slice_rows}
+        idmap = {
+            r["doc_id"]: r[ID_FIELD]
+            for r in reader.forward.select("doc_id", ID_FIELD)
+            .filter(F.col("doc_id").isin(list(ids)))
+            .collect()
+        }
+        seen: set[int] = set()
+        hits_out: list[Hit] = []
+        for row in slice_rows[start:]:
+            if len(hits_out) >= stop - start:
+                break
+            d = row["doc_id"]
+            if d in seen:
+                continue
+            cl = cluster_of.get(d)
+            if cl is None:
+                rep = d
+                seen.add(d)
+            else:
+                rep = cl.topDocs[0].doc_id
+                seen.update(ds.doc_id for ds in cl.topDocs)
+            hit = Hit(id=idmap.get(rep, rep), score=float(row["score"]))
+            if cl is not None:
+                hit.topTerms = cl.topTerms
+                hit.topDocs = [
+                    {"identifier": idmap.get(ds.doc_id, ds.doc_id),
+                     "score": ds.score}
+                    for ds in cl.topDocs
+                ]
+            hits_out.append(hit)
+        return LuceneResponse(total=total, hits=hits_out)
 
     def reader(self) -> MultiGenIndex | None:
         """The core's current searchable snapshot (None before the first

@@ -326,6 +326,9 @@ class Hit:
     score: float
     duplicateCount: int | None = None
     fields: dict[str, Any] = dc_field(default_factory=dict)
+    # clustered responses only (reference ClusterHit, LuceneResponse.java:103-108)
+    topTerms: list | None = None
+    topDocs: list | None = None
 
 
 @dataclass

@@ -194,3 +194,35 @@ def test_multi_lucene_composed_query(spark, tmp_path):
     r = multi.executeComposedQuery(cq)
     assert r.total == 3  # coreA docs whose K joins a flag=true coreB doc
     assert len(r.hits) == 3
+
+
+def test_clustered_execute_query(spark, tmp_path):
+    """executeQuery(clustering=True) returns the reference's ClusterHit
+    shape (Lucene.java:365-414): near-identical docs collapse into one
+    representative carrying topDocs (identifier-resolved) + topTerms;
+    singleton docs come back as plain hits; every doc appears once."""
+    c = LuceneCore(spark, str(tmp_path), name="cl", n_shards=2)
+    for i in range(4):  # a tight cluster: same term vector
+        c.addDocument(
+            identifier=f"dup:{i}",
+            fields=[{"type": "TextField", "name": "body",
+                     "value": "identical cluster content words"}],
+        )
+    c.addDocument(
+        identifier="solo",
+        fields=[{"type": "TextField", "name": "body",
+                 "value": "completely different cluster text"}],
+    )
+    c.commit()
+    r = c.executeQuery(Q.term("body", "cluster"), clustering=True)
+    assert r.total == 5
+    all_ids = {h.id for h in r.hits}
+    member_ids = {
+        d["identifier"] for h in r.hits if h.topDocs for d in h.topDocs
+    }
+    # the 4 duplicates surfaced through ONE representative hit
+    dup_hits = [h for h in r.hits if h.id.startswith("dup:")]
+    assert len(dup_hits) == 1
+    assert {f"dup:{i}" for i in range(4)} <= member_ids
+    assert dup_hits[0].topTerms  # PageRank term ranking present
+    assert "solo" in all_ids
