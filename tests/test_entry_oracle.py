@@ -88,14 +88,21 @@ def test_similar_documents_nontrivial(spark):
 
 def test_minhash_lsh_oracle_recall_band_guard(duck):
     """ADVICE r3: the dd_minhash_lsh oracle asserts LSH output == the
-    exact pair set >= 0.3, which only holds while no genuine corpus pair
-    sits in the low-recall band just above threshold (16x4 bands: ~21%
-    recall at jaccard 0.35). Guard: every qualifying pair must sit in
-    the near-certain-recall region (planted dups land at ~0.9); a pair
-    in [0.3, 0.8) means the fixture needs re-planting BEFORE the driver
-    gate turns nondeterministically red."""
+    exact pair set >= 0.3, which only holds while no corpus pair sits in
+    the low-recall band just above threshold (16x4 bands: ~21% recall at
+    jaccard 0.35). Guard: every qualifying pair's EXPECTED banded recall
+    1-(1-j^r)^b must be >= 0.99 (j >= ~0.708 for b=16, r=4 — the seeded
+    hash family is deterministic per corpus, so this is margin against
+    corpus/sf drift, not per-run randomness). A pair below the line
+    means the fixture needs re-planting BEFORE the driver gate can turn
+    red on a new corpus. At sf0.01 the shortest planted doc dilutes to
+    jaccard 0.786 -> recall 0.9995, which is exactly the case a blunt
+    0.8 cutoff would misflag."""
     rows = duck.execute(entry_mod.oracle_sql()["dd_minhash_lsh"]).fetchall()
-    assert rows and all(j >= 0.8 for _, _, j in rows), rows
+    assert rows
+    for id_a, id_b, j in rows:
+        recall = 1.0 - (1.0 - j**4) ** 16
+        assert recall >= 0.99, (id_a, id_b, j, recall)
 
 
 def test_embedding_cosine_oracle_recall_band_guard(duck):
