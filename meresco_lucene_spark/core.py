@@ -133,10 +133,11 @@ class LuceneCore:
     def delete(self, identifier: str | None = None, luceneQuery=None) -> None:
         """Delete by identifier, or by query (deleteDocuments(query),
         Lucene.java:178-181). Query deletes commit pending ops first,
-        then tombstone every matching id — matched ids pass through the
-        driver (parity with the reference's sequential writer; bulk
-        predicate deletes at scale belong to IngestSink.delete_where's
-        frame-write path)."""
+        then tombstone every matching id in ONE frame-path commit: the
+        matched ids flow from the filtered snapshot scan straight into
+        the tombstone parquet write (IncrementalIndexStore.
+        delete_matching) — no driver collect, so a query matching a
+        large fraction of a 100 TB corpus cannot OOM the driver."""
         if identifier is not None:
             self._buffer[str(identifier)] = _DELETED
             if len(self._buffer) >= self.commit_count:
@@ -150,16 +151,9 @@ class LuceneCore:
             return
         from meresco_lucene_spark.query.executor import hits
 
-        ids = [
-            r[0]
-            for r in hits(reader, self._as_q(luceneQuery))
-            .select("doc_id")
-            .distinct()
-            .collect()
-        ]
-        if ids:
-            self._ensure_store().delete(ids)
-            self._reader = None
+        matched = hits(reader, self._as_q(luceneQuery)).select("doc_id")
+        self._ensure_store().delete_matching(matched)
+        self._reader = None
 
     def commit(self) -> int | None:
         """Flush the op buffer as ONE durable generation commit (adds
@@ -169,11 +163,16 @@ class LuceneCore:
             return None
         adds = {i: f for i, f in self._buffer.items() if f is not _DELETED}
         dels = [i for i, f in self._buffer.items() if f is _DELETED]
-        self._buffer.clear()
-        store = self._ensure_store(sample=next(iter(adds.values())) if adds else None)
+        # Buffered ops survive a failed commit: the reference's
+        # addDocument+commit cycle never drops accepted ops on an
+        # IndexWriter failure, so the buffer is cleared only after
+        # commit_batch has durably returned (a _frame validation error or
+        # a transient write failure leaves every op re-committable).
+        store = self._ensure_store(samples=list(adds.values()) if adds else None)
         adds_df = self._frame(adds) if adds else None
         del_ids = self._hash_ids(dels) if dels else None
         gen = store.commit_batch(adds_df, delete_ids=del_ids)
+        self._buffer.clear()
         store.maybe_merge(segments_per_tier=self.segments_per_tier)
         self._reader = None
         return gen
@@ -330,26 +329,45 @@ class LuceneCore:
     def numDocs(self) -> int:
         """LIVE doc count (the reference's IndexWriter.numDocs excludes
         deletions — unlike MultiGenIndex.num_docs(), which keeps
-        counting dead docs because pre-merge SCORING does)."""
+        counting dead docs because pre-merge SCORING does). O(1) after
+        the first call per snapshot: served from the persisted
+        per-snapshot count (MultiGenIndex.live_doc_count), metadata-only
+        when the snapshot carries no tombstones — the reference's
+        numDocs is O(1) reader metadata too."""
         reader = self._open()
-        return reader.forward.count() if reader else 0
+        return reader.live_doc_count() if reader else 0
 
     def coreInfo(self):
         return {"name": self.name, "numDocs": self.numDocs()}
 
     # --------------------------------------------------------- internals
-    def _ensure_store(self, sample: dict | None = None) -> IncrementalIndexStore:
+    def _ensure_store(
+        self, samples: list[dict] | None = None
+    ) -> IncrementalIndexStore:
         if self._store is not None:
             return self._store
         if os.path.exists(os.path.join(self.root, "_config.json")):
             self._store = IncrementalIndexStore(self.spark, self.root)
             return self._store
         if self._fields_spec is None:
-            if sample is None:
+            if not samples:
                 raise ValueError("first commit must contain at least one add")
-            self._fields_spec = {
-                name: kind for name, (kind, _) in sample.items()
-            }
+            # The pinned spec is the UNION of fields across every add in
+            # the first commit (a heterogeneous first batch — doc 1
+            # lacking an optional field present on doc 2 — must not pin a
+            # too-narrow spec to disk); conflicting kinds for one name
+            # are a real schema error and raise before anything persists.
+            spec: dict[str, str] = {}
+            for flds in samples:
+                for name, (kind, _) in flds.items():
+                    prev = spec.get(name)
+                    if prev is not None and prev != kind:
+                        raise ValueError(
+                            f"conflicting field kinds for {name!r} in the "
+                            f"first commit: {prev!r} vs {kind!r}"
+                        )
+                    spec[name] = kind
+            self._fields_spec = spec
             tmp = self._fields_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(self._fields_spec, f)
@@ -514,9 +532,15 @@ class LuceneCore:
             .filter(F.col("doc_id").isin(list(ids)))
             .collect()
         }
+        # Walk the full slice from index 0 maintaining `seen` (the
+        # reference's seen-set walk over the whole topDocs slice,
+        # Lucene.java:365-414): with start > 0 a cluster whose first
+        # member ranked before `start` must be SKIPPED on this page, not
+        # re-emitted under a later member as a duplicate representative.
         seen: set[int] = set()
+        emitted = 0  # deduplicated entries walked so far (page offset)
         hits_out: list[Hit] = []
-        for row in slice_rows[start:]:
+        for row in slice_rows:
             if len(hits_out) >= stop - start:
                 break
             d = row["doc_id"]
@@ -529,6 +553,9 @@ class LuceneCore:
             else:
                 rep = cl.topDocs[0].doc_id
                 seen.update(ds.doc_id for ds in cl.topDocs)
+            emitted += 1
+            if emitted <= start:
+                continue
             hit = Hit(id=idmap.get(rep, rep), score=float(row["score"]))
             if cl is not None:
                 hit.topTerms = cl.topTerms
@@ -547,26 +574,62 @@ class LuceneCore:
         return self._open()
 
     def _suggest(self, reader, req: dict) -> dict[str, list[str]]:
-        """DirectSpellChecker analog (Lucene.java:804-812,
-        SUGGEST_WHEN_NOT_IN_INDEX): for each word, top-count terms of
-        the field within levenshtein distance 2, by (distance asc,
-        docFreq desc); words already in the index get no suggestions."""
+        """DirectSpellChecker analog (Lucene.java:804-816): for each
+        word, the top-``count`` terms of the field within levenshtein
+        distance 1..2, ordered (distance asc, docFreq desc, term asc).
+        ``mode`` (JsonQueryConverter.java:177-187 →
+        suggestModeFromString):
+          SUGGEST_WHEN_NOT_IN_INDEX (default) — words already in the
+            index get no suggestions (LuceneTest.java:608);
+          SUGGEST_MORE_POPULAR — only candidates whose docFreq exceeds
+            the word's own docFreq, in-index words included
+            (LuceneTest.java:609);
+          SUGGEST_ALWAYS — no frequency constraint.
+        ONE Spark job for the whole request: a broadcast words-literal
+        frame nested-loop-joined against term_stats_for(field) under the
+        levenshtein cutoff; each word's own docFreq is recovered in the
+        same pass as a distance-0 window max, and the per-word top-count
+        is a row_number window — no per-word driver loop."""
+        from pyspark.sql.window import Window
+
         field = req["field"]
         count = int(req.get("count", 10))
-        stats = reader.term_stats_for(field)
-        out: dict[str, list[str]] = {}
-        for word in req.get("suggests", []):
-            if stats.filter(F.col("term") == word).limit(1).count() > 0:
-                out[word] = []
-                continue
-            rows = (
-                stats.withColumn("_d", F.levenshtein(F.col("term"), F.lit(word)))
-                .filter(F.col("_d") <= 2)
-                .orderBy(F.col("_d").asc(), F.col("df").desc(), F.col("term").asc())
-                .limit(count)
-                .collect()
+        mode = req.get("mode") or "SUGGEST_WHEN_NOT_IN_INDEX"
+        words = [str(w) for w in req.get("suggests", [])]
+        out: dict[str, list[str]] = {w: [] for w in words}
+        if not words:
+            return out
+        wdf = self.spark.createDataFrame([(w,) for w in words], "word string")
+        j = (
+            F.broadcast(wdf)
+            .crossJoin(reader.term_stats_for(field))
+            .withColumn("_d", F.levenshtein(F.col("word"), F.col("term")))
+            .filter(F.col("_d") <= 2)
+            .withColumn(
+                "_word_df",
+                F.max(F.when(F.col("_d") == 0, F.col("df"))).over(
+                    Window.partitionBy("word")
+                ),
             )
-            out[word] = [r["term"] for r in rows]
+            .filter(F.col("_d") >= 1)
+        )
+        if mode == "SUGGEST_WHEN_NOT_IN_INDEX":
+            j = j.filter(F.col("_word_df").isNull())
+        elif mode == "SUGGEST_MORE_POPULAR":
+            j = j.filter(F.col("df") > F.coalesce(F.col("_word_df"), F.lit(0)))
+        elif mode != "SUGGEST_ALWAYS":
+            raise ValueError(f"unknown suggest mode {mode!r}")
+        rank = Window.partitionBy("word").orderBy(
+            F.col("_d").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+        rows = (
+            j.withColumn("_rn", F.row_number().over(rank))
+            .filter(F.col("_rn") <= count)
+            .select("word", "term", "_rn")
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (r["word"], r["_rn"])):
+            out[r["word"]].append(r["term"])
         return out
 
 

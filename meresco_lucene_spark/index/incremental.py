@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meresco_lucene_spark.index.builder import FieldStats
+from meresco_lucene_spark.index.committer import COMMITTER
 from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
 
 _GEN_PREFIX = "gen-"
@@ -73,6 +74,14 @@ def _gen_name(n: int) -> str:
 
 def _commit_marker(gen_dir: str) -> str:
     return os.path.join(gen_dir, "_COMMITTED")
+
+
+def _meta_path(gen_dir: str) -> str:
+    return os.path.join(gen_dir, "_meta.json")
+
+
+def _write_meta(gen_dir: str, meta: dict) -> None:
+    COMMITTER.publish_file(_meta_path(gen_dir), json.dumps(meta))
 
 
 class IncrementalIndexStore:
@@ -130,6 +139,7 @@ class IncrementalIndexStore:
         df: DataFrame | None,
         delete_ids: list[int] | None = None,
         id_col: str = "doc_id",
+        meta: dict | None = None,
     ) -> int:
         """One commit: the batch's docs become searchable, any OLDER
         version of their ids (plus delete_ids) stops matching. Atomic:
@@ -137,7 +147,12 @@ class IncrementalIndexStore:
         are written unconditionally for the batch's ids — one write
         instead of an existence-check join against every older
         generation; a tombstone for an id that never existed matches
-        nothing."""
+        nothing. (Frame-sourced predicate deletes go through
+        ``delete_matching`` — the no-driver-collect path.)
+
+        ``meta``: small JSON dict recorded durably INSIDE this commit
+        (written before the _COMMITTED marker) — used by the streaming
+        ingest to make epoch replay-detection atomic with the commit."""
         self._clean_crashed()
         gen = self._next_gen()
         gen_dir = os.path.join(self.root, _gen_name(gen))
@@ -162,15 +177,69 @@ class IncrementalIndexStore:
             tomb_ids.distinct().write.mode("overwrite").parquet(
                 os.path.join(gen_dir, "tombstones")
             )
-        marker_tmp = os.path.join(gen_dir, "_COMMITTED.tmp")
-        with open(marker_tmp, "w") as f:
-            f.write("ok")
-        os.replace(marker_tmp, _commit_marker(gen_dir))
+        if meta:
+            _write_meta(gen_dir, meta)
+        COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
         return gen
 
     def delete(self, delete_ids: list[int]) -> int:
         """deleteDocument analog: a tombstone-only commit."""
         return self.commit_batch(None, delete_ids=delete_ids)
+
+    def delete_matching(self, doc_ids: DataFrame) -> int | None:
+        """Predicate-delete analog (deleteDocuments(query),
+        Lucene.java:178-181) at scale: a tombstone-only commit whose ids
+        come from a DataFrame — typically ``hits(reader, q).select(
+        "doc_id")`` — so the matched set flows straight from the
+        filtered snapshot scan into the tombstone parquet write with no
+        driver collect (a predicate matching a large fraction of a
+        100 TB corpus must not OOM the driver). The row count rides the
+        write job as an Observation; a no-match predicate leaves no
+        committed generation behind (the unmarked dir is wiped at once
+        and would be garbage-collected by _clean_crashed anyway).
+        Returns the committed generation, or None when nothing matched
+        or the store has no committed generation. Self-read-safe: the
+        frame scans only already-committed gen dirs while the write
+        lands in a NEW gen dir invisible until its marker."""
+        if not self._gens():
+            return None
+        from pyspark.sql import Observation
+
+        self._clean_crashed()
+        gen = self._next_gen()
+        gen_dir = os.path.join(self.root, _gen_name(gen))
+        os.makedirs(gen_dir)
+        obs = Observation()
+        (
+            doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen_dir, "tombstones"))
+        )
+        if int(obs.get["n"]) == 0:
+            shutil.rmtree(gen_dir, ignore_errors=True)
+            return None
+        COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
+        return gen
+
+    # -------------------------------------------------------- gen metadata
+    def _gen_meta(self, gen: int) -> dict:
+        p = _meta_path(os.path.join(self.root, _gen_name(gen)))
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def last_stream_epoch(self) -> int:
+        """Highest stream epoch recorded inside any COMMITTED generation
+        (-1 if none): the replay watermark that cannot run ahead of the
+        commits it describes, because it is written before each gen's
+        _COMMITTED marker and carried forward by force_merge."""
+        out = -1
+        for g in self._gens():
+            out = max(out, int(self._gen_meta(g).get("stream_epoch", -1)))
+        return out
 
     # ------------------------------------------------------------- reads
     def open(self, as_of: int | None = None) -> "MultiGenIndex":
@@ -224,10 +293,16 @@ class IncrementalIndexStore:
         reader.forward.select("doc_id").distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_dir, "tombstones"))
-        marker_tmp = os.path.join(gen_dir, "_COMMITTED.tmp")
-        with open(marker_tmp, "w") as f:
-            f.write("ok")
-        os.replace(marker_tmp, _commit_marker(gen_dir))
+        # carry the stream-epoch watermark into the merged generation —
+        # the old gens' _meta.json files are about to be deleted, and the
+        # watermark must never move backwards across a merge
+        eps = max(
+            (int(self._gen_meta(g).get("stream_epoch", -1)) for g in gens),
+            default=-1,
+        )
+        if eps >= 0:
+            _write_meta(gen_dir, {"stream_epoch": eps})
+        COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
         for g in gens:
             shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
         # the merged gen's tombstones (one row per LIVE doc — corpus-sized)
@@ -362,6 +437,40 @@ class MultiGenIndex:
 
     def num_docs(self) -> int:
         return self.n_docs
+
+    def live_doc_count(self) -> int:
+        """LIVE doc count (numDocs semantics: deletions excluded —
+        unlike num_docs(), which keeps counting dead docs because
+        pre-merge SCORING does, VERDICT r4 #6).
+
+        O(1) on every call after the first per snapshot: a MultiGenIndex
+        is an immutable snapshot (fixed committed-generation list), so
+        the count is computed at most once and persisted beside the
+        store keyed by the generation signature — later readers at the
+        same tip, including other sessions, read it back without a job.
+        When the snapshot has no tombstones at all (fresh store, or just
+        after force_merge folded them away) the count is served straight
+        from the generations' metadata row counts, no job ever. The
+        design deliberately does NOT do sum(n_docs) - sum(tombstones):
+        tombstones are written unconditionally for a batch's ids, so a
+        tombstone row does not imply a killed doc and that subtraction
+        over-counts on new-id adds."""
+        sig = list(self.gens)
+        path = os.path.join(self.root, "_live_count.json")
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    d = json.load(f)
+                if d.get("gens") == sig:
+                    return int(d["n"])
+            except (ValueError, KeyError):
+                pass
+        n = self.n_docs if self._tombstones is None else self.forward.count()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"gens": sig, "n": int(n)}, f)
+        os.replace(tmp, path)
+        return int(n)
 
     def fieldnames(self) -> list[str]:
         names = set()

@@ -62,11 +62,18 @@ class IngestSink:
         current_state()'s scan is pinned to the EXPLICIT list of epoch
         dirs existing now (_latest_rows passes paths, not the epoch=*
         glob), so the write cannot observe the epoch it is creating, and
-        the predicate is evaluated exactly once (one write job). A
-        no-match predicate leaves no committed epoch behind. epoch_id
-        defaults to max(existing)+1; an explicit epoch_id that collides
-        with a committed epoch is rejected instead of clobbering it."""
+        the predicate is evaluated exactly once (one write job, its row
+        count riding along as an Observation — no second read of the
+        data just written). A no-match predicate never becomes visible,
+        even transiently: the write lands in a temp dir that is renamed
+        into epoch=N only when the count is nonzero, so a concurrent
+        reader (or a crash mid-way) can never observe an empty epoch.
+        epoch_id defaults to max(existing)+1; an explicit epoch_id that
+        collides with a committed epoch is rejected instead of
+        clobbering it."""
         import shutil
+
+        from pyspark.sql import Observation
 
         existing = self._existing_epochs()
         if epoch_id is None:
@@ -75,18 +82,27 @@ class IngestSink:
             raise ValueError(
                 f"epoch {epoch_id} is already committed in {self.state_dir}"
             )
-        tombstones = (
+        tmp = os.path.join(self.state_dir, f"_tmp_epoch_{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        obs = Observation()
+        (
             self.current_state()
             .filter(predicate)
             .select(self.id_col)
             .withColumn("_deleted", F.lit(True))
+            .withColumn("_epoch", F.lit(epoch_id))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-        self.process_batch(tombstones, epoch_id)
-        out = os.path.join(self.state_dir, f"epoch={epoch_id}")
-        n = self.spark.read.parquet(out).count()
+        n = int(obs.get["n"])
         if n == 0:
-            shutil.rmtree(out)
-            self.epochs.remove(epoch_id)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return 0
+        from meresco_lucene_spark.index.committer import COMMITTER
+
+        COMMITTER.publish_dir(tmp, os.path.join(self.state_dir, f"epoch={epoch_id}"))
+        self.epochs.append(epoch_id)
         return n
 
     def _existing_epochs(self) -> list[int]:
@@ -190,13 +206,23 @@ def stream_ingest_incremental(
     (maybe_merge: fold once more than that many generations exist), the
     steady-state analog of the reference's background merges.
 
-    Replay-idempotent: foreachBatch is at-least-once, so after a
-    failure/restart the same epoch_id can be redelivered; the last
-    committed epoch_id is recorded in the store root (atomic rename)
-    and already-seen epochs are skipped — a replayed batch must not
-    become a duplicate generation that double-counts df/cf/n_docs
-    until a merge (IngestSink.process_batch is idempotent per epoch
-    for the same reason).
+    Replay-idempotent, ATOMICALLY: foreachBatch is at-least-once, so
+    after a failure/restart the same epoch_id can be redelivered. The
+    epoch id is recorded INSIDE the generation commit itself
+    (commit_batch(meta=...) writes it into the gen dir before the
+    _COMMITTED marker), so the watermark and the commit it describes
+    appear together or not at all — a crash between "commit" and
+    "record" cannot re-commit the batch on replay as a duplicate
+    generation that double-counts df/cf/n_docs until a merge
+    (force_merge carries the watermark into the merged gen). Empty
+    batches, which commit no generation, still advance a side-file
+    watermark (best-effort: re-processing an empty batch is a no-op).
+
+    Fresh-checkpoint guard: pointing a stream whose checkpoint restarts
+    epoch numbering at 0 at an EXISTING store root would silently skip
+    every batch up to the recorded watermark (data loss). An incoming
+    epoch_id BEHIND the watermark by more than redelivery can explain
+    (epoch_id < watermark) therefore raises instead of returning.
 
     Returns (store, streaming_query); query results come from
     ``store.open()`` after any commit."""
@@ -206,20 +232,30 @@ def stream_ingest_incremental(
     epoch_path = os.path.join(root, "_last_stream_epoch")
 
     def _last_epoch() -> int:
+        file_val = -1
         if os.path.exists(epoch_path):
             with open(epoch_path) as f:
-                return int(f.read().strip())
-        return -1
+                file_val = int(f.read().strip())
+        return max(file_val, store.last_stream_epoch())
 
     def _record_epoch(eid: int) -> None:
-        tmp = epoch_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(eid))
-        os.replace(tmp, epoch_path)
+        from meresco_lucene_spark.index.committer import COMMITTER
+
+        COMMITTER.publish_file(epoch_path, str(eid))
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= _last_epoch():
-            return  # at-least-once replay of an already committed batch
+        last = _last_epoch()
+        if epoch_id <= last:
+            if epoch_id < last:
+                raise RuntimeError(
+                    f"incoming stream epoch {epoch_id} is behind the store's "
+                    f"recorded watermark {last} by more than one batch: this "
+                    f"stream appears to run from a FRESH checkpoint against "
+                    f"the existing store root {root!r}. Silently skipping "
+                    "would lose every batch up to the watermark — use a new "
+                    "store root or restore the original checkpoint."
+                )
+            return  # at-least-once redelivery of the last committed batch
         cols = batch_df.columns
         if "_seq" in cols:
             w = Window.partitionBy(id_col).orderBy(F.col("_seq").desc())
@@ -239,10 +275,18 @@ def stream_ingest_incremental(
         if adds.limit(1).count() == 0:
             adds = None
         if adds is not None or dels:
-            store.commit_batch(adds, delete_ids=dels or None, id_col=id_col)
+            # the epoch id travels INSIDE the commit (atomic with it)
+            store.commit_batch(
+                adds,
+                delete_ids=dels or None,
+                id_col=id_col,
+                meta={"stream_epoch": int(epoch_id)},
+            )
             if auto_merge_tier is not None:
                 store.maybe_merge(segments_per_tier=auto_merge_tier)
-        # recorded even for empty batches: the epoch was fully processed
+        # side-file watermark: the only record for EMPTY batches (which
+        # commit nothing); for data batches it merely caches what the
+        # gen meta already states durably
         _record_epoch(epoch_id)
 
     writer = stream_df.writeStream.outputMode("append").foreachBatch(_commit)

@@ -226,10 +226,9 @@ def swap_suggestion_store(
     build_suggestion_store(
         df, value_col, os.path.join(live_dir, f"gen-{new_gen}"), **kwargs
     )
-    tmp_ptr = os.path.join(live_dir, "CURRENT.tmp")
-    with open(tmp_ptr, "w") as f:
-        f.write(f"gen-{new_gen}")
-    os.replace(tmp_ptr, os.path.join(live_dir, "CURRENT"))
+    from meresco_lucene_spark.index.committer import COMMITTER
+
+    COMMITTER.publish_file(os.path.join(live_dir, "CURRENT"), f"gen-{new_gen}")
     doomed = gens if keep_generations == 0 else gens[:-keep_generations]
     for g in doomed:
         shutil.rmtree(os.path.join(live_dir, f"gen-{g}"), ignore_errors=True)

@@ -444,3 +444,127 @@ def test_versioner_seq_column_orders_within_batch():
     pdf3 = pd.DataFrame({"text": ["d"], "_seq": [6], "doc_id": [9]})
     out3 = pd.concat(list(fn((9,), iter([pdf3]), st)))
     assert list(zip(out3["version"], out3["text"])) == [(3, "d")]
+
+
+def test_delete_where_no_match_leaves_no_trace(spark, tmp_path):
+    """ADVICE r4: a no-match delete_where must never expose an empty
+    epoch even transiently — the write lands in a temp dir and is only
+    renamed into epoch=N when nonzero — and must not re-read the data it
+    just wrote (row count rides the write as an Observation)."""
+    sink = IngestSink(spark, str(tmp_path / "state"))
+    sink.process_batch(_batch(spark, [(1, "keep", None)]), 0)
+    assert sink.delete_where(F.col("text") == "absent") == 0
+    entries = os.listdir(str(tmp_path / "state"))
+    assert [e for e in entries if e.startswith("epoch=")] == ["epoch=0"]
+    assert not [e for e in entries if e.startswith("_tmp_epoch")]
+    assert sink.epochs == [0]  # no-match epoch not added to the in-memory list
+    # and a matching delete still works through the rename path
+    assert sink.delete_where(F.col("text") == "keep") == 1
+    assert sink.current_state().count() == 0
+
+
+def test_stream_epoch_recorded_inside_commit(spark, tmp_path):
+    """ADVICE r4: the replay watermark is recorded INSIDE the generation
+    commit (gen _meta.json, written before _COMMITTED), so a crash
+    between commit_batch and the side-file write cannot re-commit the
+    batch on replay. Simulated by deleting the side file outright: the
+    gen metadata alone must still dedupe the replayed epoch."""
+    from meresco_lucene_spark.streaming.ingest import stream_ingest_incremental
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _batch(spark, [(1, "alpha beta", None), (2, "beta gamma", None)]).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        store, query = stream_ingest_incremental(
+            stream,
+            str(tmp_path / "inc"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            text_cols=["text"],
+            n_shards=2,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return store
+
+    store = run("ckpt1")
+    assert store.last_stream_epoch() == 0  # durably inside the gen dir
+    # crash-between-the-two simulation: the side-file record is GONE
+    os.remove(str(tmp_path / "inc" / "_last_stream_epoch"))
+    store = run("ckpt2")  # fresh checkpoint redelivers epoch 0
+    idx = store.open()
+    assert len(idx.gens) == 1, "replayed epoch became a duplicate generation"
+    assert idx.field_stats("text").n_docs == 2
+
+
+def test_fresh_checkpoint_behind_watermark_raises(spark, tmp_path):
+    """ADVICE r4: pointing a FRESH-checkpoint stream at a store whose
+    watermark is ahead by more than redelivery can explain must raise —
+    silently skipping would lose every batch up to the watermark."""
+    from meresco_lucene_spark.streaming.ingest import stream_ingest_incremental
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def run(ckpt):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        store, query = stream_ingest_incremental(
+            stream,
+            str(tmp_path / "inc"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            text_cols=["text"],
+            n_shards=2,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return store
+
+    # two files, two micro-batches -> watermark reaches epoch 1
+    _batch(spark, [(1, "alpha", None)]).write.mode("append").parquet(str(src))
+    _batch(spark, [(2, "beta", None)]).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    store, query = stream_ingest_incremental(
+        stream,
+        str(tmp_path / "inc"),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        text_cols=["text"],
+        n_shards=2,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert store.last_stream_epoch() == 1
+    # fresh checkpoint: everything lands in ONE batch numbered 0 < 1
+    with pytest.raises(Exception, match="FRESH checkpoint"):
+        run("ckpt2")
+
+
+def test_force_merge_carries_stream_watermark(spark, tmp_path):
+    """force_merge deletes the old gen dirs; the merged generation must
+    carry the max stream epoch forward so the watermark never regresses."""
+    from meresco_lucene_spark.index.incremental import IncrementalIndexStore
+
+    store = IncrementalIndexStore(
+        spark, str(tmp_path / "inc"), text_cols=["text"], n_shards=2
+    )
+    store.commit_batch(
+        _batch(spark, [(1, "alpha", None)]).drop("_deleted"),
+        meta={"stream_epoch": 0},
+    )
+    store.commit_batch(
+        _batch(spark, [(2, "beta", None)]).drop("_deleted"),
+        meta={"stream_epoch": 1},
+    )
+    assert store.last_stream_epoch() == 1
+    store.force_merge()
+    assert store.last_stream_epoch() == 1
