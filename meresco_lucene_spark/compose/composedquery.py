@@ -32,6 +32,7 @@ from typing import TYPE_CHECKING, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meresco_lucene_spark.columns import qcol
 from meresco_lucene_spark.query.executor import (
     LuceneResponse,
     facet_counts,
@@ -142,8 +143,8 @@ def collect_keys(index: "InvertedIndex", query: Q | None, key_field: str) -> Dat
     h = hits(index, query or Q.matchall()).select("doc_id")
     return (
         index.forward.join(h, "doc_id", "left_semi")
-        .filter(F.col(key_field).isNotNull())
-        .select(F.col(key_field).alias("key"))
+        .filter(qcol(key_field).isNotNull())
+        .select(qcol(key_field).alias("key"))
         .distinct()
     )
 
@@ -214,7 +215,7 @@ def execute_composed(
             hits(cores[core], rq)
             .join(
                 cores[core].forward.select(
-                    "doc_id", F.col(other_key).alias("key")
+                    "doc_id", qcol(other_key).alias("key")
                 ),
                 "doc_id",
             )
@@ -277,9 +278,9 @@ def execute_composed(
             other_key = cq.key_name(other, result_core)
             syn = f"_joinsort_{i}"
             vals = (
-                cores[other].forward.filter(F.col(sk["sortBy"]).isNotNull())
-                .groupBy(other_key)
-                .agg(F.min(sk["sortBy"]).alias(syn))
+                cores[other].forward.filter(qcol(sk["sortBy"]).isNotNull())
+                .groupBy(qcol(other_key))
+                .agg(F.min(qcol(sk["sortBy"])).alias(syn))
                 .withColumnRenamed(other_key, result_key)
             )
             aug = aug.join(F.broadcast(vals), result_key, "left")
@@ -325,8 +326,8 @@ def execute_composed(
             other_key = cq.key_name(core, result_core)
             hit_keys = (
                 result_idx.forward.join(all_hits.select("doc_id"), "doc_id", "left_semi")
-                .filter(F.col(result_key).isNotNull())
-                .select(F.col(result_key).alias("key"))
+                .filter(qcol(result_key).isNotNull())
+                .select(qcol(result_key).alias("key"))
                 .distinct()
             )
             other_idx = cores[core]
@@ -349,8 +350,8 @@ def execute_composed(
         if export_key is not None:
             keys = (
                 result_idx.forward.join(all_hits.select("doc_id"), "doc_id", "left_semi")
-                .filter(F.col(export_key).isNotNull())
-                .select(F.col(export_key).alias("key"))
+                .filter(qcol(export_key).isNotNull())
+                .select(qcol(export_key).alias("key"))
                 .distinct()
             )
             response.keys = sorted(r["key"] for r in keys.collect())

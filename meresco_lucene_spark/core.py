@@ -275,16 +275,18 @@ class LuceneCore:
         cols = reader.facet_fields.get(dim, [dim])
         if len(rest) >= len(cols):
             return LuceneResponse(total=0, hits=[])
+        from meresco_lucene_spark.columns import qcol
+
         fwd = reader.forward
         for c, v in zip(cols, rest):
-            fwd = fwd.filter(F.col(c) == v)
+            fwd = fwd.filter(qcol(c) == v)
         level = cols[len(rest)]
         vals = [
             r[0]
-            for r in fwd.filter(F.col(level).isNotNull())
-            .select(level)
+            for r in fwd.filter(qcol(level).isNotNull())
+            .select(qcol(level))
             .distinct()
-            .orderBy(level)
+            .orderBy(qcol(level))
             .limit(limit)
             .collect()
         ]

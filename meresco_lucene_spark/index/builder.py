@@ -45,11 +45,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from meresco_lucene_spark.analysis.tokenizer import tokenize_expr, tokenize_udf
+from meresco_lucene_spark.columns import qcol
 from meresco_lucene_spark.query.bm25 import (
     K1_DEFAULT,
     B_DEFAULT,
     quantize_dl_expr,
 )
+
 
 
 def posting_frames(
@@ -86,13 +88,13 @@ def posting_frames(
         # JVM tokenizer (codegen) — the pandas-UDF twin exists for
         # exotic folds; contracts are identical (tokenizer.py).
         if kind == "array":
-            tok_expr = F.col(col)
+            tok_expr = qcol(col)
         elif kind == "dutch":
             from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
 
-            tok_expr = tokenize_dutch_udf(F.col(col))
+            tok_expr = tokenize_dutch_udf(qcol(col))
         else:
-            tok_expr = tokenize_expr(F.col(col))
+            tok_expr = tokenize_expr(qcol(col))
         toks = df.select(doc, tok_expr.alias("tokens"))
         exploded = toks.select(
             "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
@@ -116,9 +118,9 @@ def posting_frames(
             )
         )
     for col in keyword_cols:
-        kw = df.filter(F.col(col).isNotNull()).select(
+        kw = df.filter(qcol(col).isNotNull()).select(
             F.lit(col).alias("field"),
-            F.col(col).cast("string").alias("term"),
+            qcol(col).cast("string").alias("term"),
             doc,
             F.lit(1).cast("long").alias("tf"),
             F.array(F.lit(0)).alias("positions"),
@@ -126,7 +128,7 @@ def posting_frames(
         posting_parts.append(kw)
         # Keyword fields omit norms: dl recorded as 1 for completeness.
         length_parts.append(
-            df.filter(F.col(col).isNotNull()).select(
+            df.filter(qcol(col).isNotNull()).select(
                 F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
             )
         )
@@ -175,13 +177,13 @@ def occurrence_frames(
     )
     for col, kind in col_plans:
         if kind == "array":
-            tok_expr = F.col(col)
+            tok_expr = qcol(col)
         elif kind == "dutch":
             from meresco_lucene_spark.analysis.dutch import tokenize_dutch_udf
 
-            tok_expr = tokenize_dutch_udf(F.col(col))
+            tok_expr = tokenize_dutch_udf(qcol(col))
         else:
-            tok_expr = tokenize_expr(F.col(col))
+            tok_expr = tokenize_expr(qcol(col))
         toks = df.select(doc, tok_expr.alias("tokens"))
         occ_parts.append(
             toks.select(
@@ -202,15 +204,15 @@ def occurrence_frames(
         )
     for col in keyword_cols:
         occ_parts.append(
-            df.filter(F.col(col).isNotNull()).select(
+            df.filter(qcol(col).isNotNull()).select(
                 F.lit(col).alias("field"),
-                F.col(col).cast("string").alias("term"),
+                qcol(col).cast("string").alias("term"),
                 doc,
                 F.lit(0).cast("int").alias("pos"),
             )
         )
         length_parts.append(
-            df.filter(F.col(col).isNotNull()).select(
+            df.filter(qcol(col).isNotNull()).select(
                 F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
             )
         )

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
+from meresco_lucene_spark.columns import qcol
+
 if TYPE_CHECKING:  # avoid circular import (builder imports query.bm25)
     from meresco_lucene_spark.index.builder import InvertedIndex
 from meresco_lucene_spark.query.bm25 import (
@@ -185,7 +187,7 @@ def _multi_term_hits(
 def _range_hits(index: InvertedIndex, q: Q) -> DataFrame:
     """Range over a forward-table column (reference point/term ranges,
     JsonQueryConverter.java:296-331). Constant score 1."""
-    col = F.col(q.field)
+    col = qcol(q.field)
     pred = F.lit(True)
     if q.lower is not None:
         pred = pred & (col >= q.lower if q.include_lower else col > q.lower)
@@ -202,7 +204,7 @@ def _drilldown_hits(index: InvertedIndex, q: Q) -> DataFrame:
     cols = index.facet_fields.get(q.field, [q.field])
     pred = F.lit(True)
     for c, v in zip(cols, q.terms):
-        pred = pred & (F.col(c) == v)
+        pred = pred & (qcol(c) == v)
     return index.forward.filter(pred).select(
         "doc_id", F.lit(1.0 * q.boost).alias("score")
     )
@@ -368,7 +370,7 @@ def sort_exprs(sort_keys: Sequence[dict] | None) -> list[Column]:
             out.append(F.col("score").desc() if desc else F.col("score").asc())
         else:
             out.append(
-                _missing_value_order(F.col(fld), desc, sk.get("missingValue"))
+                _missing_value_order(qcol(fld), desc, sk.get("missingValue"))
             )
     if not sort_keys:
         out.append(F.col("score").desc())
@@ -446,7 +448,11 @@ def search(
         if sk["sortBy"] != "score":
             needed.add(sk["sortBy"])
     if needed:
-        h = h.join(index.forward.select("doc_id", *sorted(needed)), "doc_id", "left")
+        h = h.join(
+            index.forward.select("doc_id", *[qcol(c) for c in sorted(needed)]),
+            "doc_id",
+            "left",
+        )
 
     drilldown = [
         facet_counts(index, h, f) for f in facets
@@ -464,12 +470,12 @@ def search(
         h = persisted = h.persist()
         total_with_dupes = h.count()
         group = F.coalesce(
-            F.col(dedup_field).cast("string"),
+            qcol(dedup_field).cast("string"),
             F.concat(F.lit("__doc__"), F.col("doc_id").cast("string")),
         )
         if dedup_sort_fields:
             order = [
-                (F.col(sk["sortBy"]).desc() if sk.get("sortDescending") else F.col(sk["sortBy"]).asc())
+                (qcol(sk["sortBy"]).desc() if sk.get("sortDescending") else qcol(sk["sortBy"]).asc())
                 for sk in dedup_sort_fields
             ]
         else:
@@ -603,12 +609,12 @@ def facet_counts_df(
     fwd = index.forward
     pred = F.lit(True)
     for c, v in zip(cols, path):
-        pred = pred & (F.col(c) == v)
+        pred = pred & (qcol(c) == v)
     level_col = cols[depth]
     joined = (
         fwd.filter(pred)
-        .filter(F.col(level_col).isNotNull())
-        .select("doc_id", F.col(level_col).cast("string").alias("term"))
+        .filter(qcol(level_col).isNotNull())
+        .select("doc_id", qcol(level_col).cast("string").alias("term"))
         .join(hits_df.select("doc_id"), "doc_id", "left_semi")
     )
     return (
