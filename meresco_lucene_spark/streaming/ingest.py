@@ -82,8 +82,15 @@ class IngestSink:
             raise ValueError(
                 f"epoch {epoch_id} is already committed in {self.state_dir}"
             )
+        # single-writer: any _tmp_epoch_* leftover is a crashed previous
+        # attempt (invisible to readers) — garbage-collect them all here
+        if os.path.isdir(self.state_dir):
+            for e in os.listdir(self.state_dir):
+                if e.startswith("_tmp_epoch_"):
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, e), ignore_errors=True
+                    )
         tmp = os.path.join(self.state_dir, f"_tmp_epoch_{epoch_id}")
-        shutil.rmtree(tmp, ignore_errors=True)
         obs = Observation()
         (
             self.current_state()
