@@ -29,6 +29,10 @@ This module reproduces that contract Spark-first:
     exclude deleted docs, as after a Lucene merge). The merge re-encodes
     DECODED postings via build_index_store(occurrences=...) — no
     re-tokenization, matching Lucene's copy-don't-reanalyze merges.
+  * partial_merge()   — the size-tiered form maybe_merge actually uses:
+    folds only the SUFFIX of small delta generations, never re-encoding
+    a dominant base generation (at 100 TB, merge cost must track the
+    DELTA volume, not the corpus).
 
 Scale shape: a commit's cost is proportional to the BATCH (one small
 store build + one tombstone write); a query unions per-generation block
@@ -126,11 +130,22 @@ class IncrementalIndexStore:
         """Wipe generation dirs that lack a _COMMITTED marker (crashed
         mid-commit). Single-writer is assumed, so any unmarked dir is
         dead weight — removing it before numbering keeps the docstring's
-        'wiped and renumbered' promise instead of leaking it forever."""
+        'wiped and renumbered' promise instead of leaking it forever.
+
+        Also garbage-collects generations a committed merge already
+        folded (its ``merged_from`` metadata): a crash between a merge's
+        _COMMITTED marker and the suffix deletions leaves a transient
+        bigger-but-consistent state (the merged gen's tombstones mask
+        every folded copy) that heals here on the next write."""
+        merged_away: set[int] = set()
+        for g in self._gens():
+            merged_away.update(self._gen_meta(g).get("merged_from", ()))
         for e in os.listdir(self.root):
             if e.startswith(_GEN_PREFIX):
                 gen_dir = os.path.join(self.root, e)
-                if not os.path.exists(_commit_marker(gen_dir)):
+                if not os.path.exists(_commit_marker(gen_dir)) or (
+                    int(e[len(_GEN_PREFIX):]) in merged_away
+                ):
                     shutil.rmtree(gen_dir, ignore_errors=True)
 
     # ------------------------------------------------------------ commits
@@ -251,17 +266,113 @@ class IncrementalIndexStore:
         return MultiGenIndex(self.spark, self.root, as_of=as_of)
 
     # ------------------------------------------------------------- merge
+    def _gen_ndocs(self, gen: int) -> int:
+        """Row count of a generation's store from its build metadata
+        (0 for tombstone-only generations) — no Spark job."""
+        p = os.path.join(self.root, _gen_name(gen), "store", "meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f).get("n_docs", 0))
+        return 0
+
     def maybe_merge(self, segments_per_tier: int = 8) -> int | None:
         """The TieredMergePolicy trigger (reference default
-        segmentsPerTier=8.0, LuceneSettings.java:157-160): fold when the
+        segmentsPerTier=8.0, LuceneSettings.java:157-160): merge when the
         committed generation count exceeds the tier size, otherwise do
         nothing. Call after commit_batch in steady-state ingest so reads
         never union more than ~segments_per_tier generations and the
-        tombstone anti-join stays broadcast-small. Returns the merged
-        generation number, or None if below the threshold."""
-        if len(self._gens()) <= segments_per_tier:
+        tombstone anti-join stays broadcast-small.
+
+        SIZE-TIERED like Lucene, not a full fold: dominant old
+        generations are excluded from the merge — a prefix generation
+        stays untouched while its doc count is >= 2x the total of
+        everything newer — and the remaining delta SUFFIX is folded into
+        one. A 100 TB base generation is therefore never re-encoded just
+        because eight batch-sized deltas accumulated — merge cost stays
+        proportional to the DELTA volume (log-amortized), and the base
+        is only folded by a full merge once the accumulated deltas reach
+        half its size. Returns the merged generation number, or None if
+        below the threshold."""
+        gens = self._gens()
+        if len(gens) <= segments_per_tier:
             return None
-        return self.force_merge()
+        sizes = {g: self._gen_ndocs(g) for g in gens}
+        i = 0
+        while i < len(gens) - 1 and sizes[gens[i]] >= 2 * sum(
+            sizes[g] for g in gens[i + 1:]
+        ):
+            i += 1
+        suffix = gens[i:]
+        if i == 0 or len(suffix) < 2 or sum(sizes[g] for g in suffix) == 0:
+            return self.force_merge()
+        return self.partial_merge(suffix[0])
+
+    def partial_merge(self, start_gen: int) -> int | None:
+        """Fold the SUFFIX of generations >= start_gen into one, leaving
+        older generations untouched on disk (the Lucene tiered merge of
+        a segment subset; merging a non-suffix subset would need gen
+        renumbering to keep `tomb_gen > row_gen` masking sound, so only
+        suffixes are supported).
+
+        Correctness under the tombstone model:
+          - the merged generation's stats cover the suffix's LIVE docs
+            only (dead suffix docs leave docFreq — exactly Lucene's
+            post-merge change for the MERGED segments; unmerged older
+            segments keep counting their dead docs until their own
+            merge);
+          - the merged tombstones = the union of the suffix generations'
+            tombstone sets (they must keep masking superseded versions
+            in the KEPT older generations) plus the suffix's own live
+            ids (masking the about-to-be-deleted suffix copies during
+            the crash window). Both are DELTA-scale, never corpus-scale
+            — the base generation contributes nothing here.
+        Crash safety: the merged gen commits atomically BEFORE the
+        suffix dirs are deleted; its ``merged_from`` metadata lets
+        _clean_crashed garbage-collect suffix dirs that a crash left
+        behind, so the transient bigger-but-consistent state heals on
+        the next commit."""
+        all_gens = self._gens()
+        gens = [g for g in all_gens if g >= start_gen]
+        if len(gens) < 2:
+            return None
+        if gens[0] == all_gens[0]:
+            return self.force_merge()
+        reader = MultiGenIndex(self.spark, self.root, min_gen=start_gen)
+        self._clean_crashed()
+        gen = self._next_gen()
+        gen_dir = os.path.join(self.root, _gen_name(gen))
+        os.makedirs(gen_dir)
+        build_index_store(
+            reader.forward,
+            os.path.join(gen_dir, "store"),
+            id_col="doc_id",
+            occurrences=reader.live_occurrences(),
+            lengths=reader.live_lengths(),
+            lineage=False,
+            **self.build_kwargs,
+        )
+        tomb = reader.forward.select("doc_id")
+        for g in gens:
+            tdir = os.path.join(self.root, _gen_name(g), "tombstones")
+            if os.path.isdir(tdir):
+                tomb = tomb.unionByName(
+                    self.spark.read.parquet(tdir).select("doc_id")
+                )
+        tomb.distinct().write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "tombstones")
+        )
+        meta: dict = {"merged_from": gens}
+        eps = max(
+            (int(self._gen_meta(g).get("stream_epoch", -1)) for g in gens),
+            default=-1,
+        )
+        if eps >= 0:
+            meta["stream_epoch"] = eps
+        _write_meta(gen_dir, meta)
+        COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
+        for g in gens:
+            shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
+        return gen
 
     def force_merge(self) -> int:
         """Fold every committed generation into one (the tiered-merge
@@ -296,12 +407,14 @@ class IncrementalIndexStore:
         # carry the stream-epoch watermark into the merged generation —
         # the old gens' _meta.json files are about to be deleted, and the
         # watermark must never move backwards across a merge
+        meta: dict = {"merged_from": gens}
         eps = max(
             (int(self._gen_meta(g).get("stream_epoch", -1)) for g in gens),
             default=-1,
         )
         if eps >= 0:
-            _write_meta(gen_dir, {"stream_epoch": eps})
+            meta["stream_epoch"] = eps
+        _write_meta(gen_dir, meta)
         COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
         for g in gens:
             shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
@@ -321,7 +434,17 @@ class MultiGenIndex:
     (term/bool/phrase/prefix/range/facets/sort/dedup/composed) runs
     unchanged on top."""
 
-    def __init__(self, spark: SparkSession, root: str, as_of: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        as_of: int | None = None,
+        min_gen: int | None = None,
+    ):
+        """``min_gen`` restricts the reader to generations >= min_gen —
+        the partial-merge feed (the suffix is self-contained: its
+        tombstones can only mask generations inside or below it, and
+        nothing above the suffix exists by construction)."""
         self.spark = spark
         self.root = root
         self.id_col = "doc_id"
@@ -331,7 +454,9 @@ class MultiGenIndex:
                 _commit_marker(os.path.join(root, e))
             ):
                 g = int(e[len(_GEN_PREFIX):])
-                if as_of is None or g <= as_of:
+                if (as_of is None or g <= as_of) and (
+                    min_gen is None or g >= min_gen
+                ):
                     gens.append(g)
         self.gens = gens
         self.stores: dict[int, PersistentIndex] = {}

@@ -402,3 +402,110 @@ def test_upsert_hit_multiplicity_and_live_dl_scores(spark, tmp_path):
     ]
     assert len(got5) == 1
     assert abs(got5[0] - expected) < 1e-9
+
+
+def test_partial_merge_leaves_base_untouched(spark, docs, tmp_path):
+    """Size-tiered merge (round 5): with a dominant base generation and
+    many small deltas, maybe_merge folds ONLY the delta suffix — the
+    base gen dir is not rewritten (at 100 TB, merge cost must track the
+    delta volume, not the corpus). Results match the pre-merge reader:
+    same matched docs, upserts supersede, deletes stay dead."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 60))  # base: 60 docs
+    for lo in range(60, 78, 3):  # six 3-doc delta commits
+        inc.commit_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 3))
+        )
+    # one upsert (supersedes a base doc) + one delete inside the deltas
+    inc.commit_batch(
+        docs.filter(F.col("doc_id") == 5).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zzpartial"))
+        )
+    )
+    inc.delete([7])
+    base_dir = os.path.join(str(tmp_path / "inc"), "gen-000000")
+    base_mtime = os.path.getmtime(base_dir)
+    before_docs = {
+        r["doc_id"] for r in inc.open().forward.select("doc_id").collect()
+    }
+
+    merged = inc.maybe_merge(segments_per_tier=8)  # 9 gens > 8 -> merge
+    assert merged is not None
+    multi = inc.open()
+    assert multi.gens[0] == 0, "base generation was folded"
+    assert os.path.getmtime(base_dir) == base_mtime, "base dir rewritten"
+    assert len(multi.gens) == 2  # base + one merged delta gen
+    after_docs = {
+        r["doc_id"] for r in multi.forward.select("doc_id").collect()
+    }
+    assert after_docs == before_docs
+    assert 7 not in after_docs  # delete survives the merge
+    zz = {r["doc_id"] for r in hits(multi, Q.term("text", "zzpartial")).collect()}
+    assert zz == {5}  # upserted version is the live one
+    # the superseded base copy of doc 5 stays masked (no duplicate hits)
+    from collections import Counter
+
+    got = Counter(
+        r["doc_id"] for r in hits(multi, Q.term("text", "import")).collect()
+    )
+    assert all(c == 1 for c in got.values())
+
+
+def test_partial_merge_crash_window_heals(spark, docs, tmp_path, monkeypatch):
+    """A crash between the merged gen's _COMMITTED marker and the suffix
+    deletions leaves a bigger-but-consistent store (the merged gen's
+    tombstones mask every folded copy); the next write garbage-collects
+    the folded dirs via the merge's merged_from metadata."""
+    import shutil as _shutil
+
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 60))
+    for lo in (60, 64, 68):
+        inc.commit_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4))
+        )
+    before = _scores(inc.open(), Q.term("text", "import"))
+
+    real_rmtree = _shutil.rmtree
+    monkeypatch.setattr(
+        "meresco_lucene_spark.index.incremental.shutil.rmtree",
+        lambda *a, **k: None,  # crash-simulate: deletions never happen
+    )
+    merged = inc.partial_merge(start_gen=1)
+    monkeypatch.undo()
+    assert merged is not None
+    # transient state: folded gens still on disk, results CONSISTENT
+    leftover = [g for g in inc._gens() if 1 <= g <= 3]
+    assert leftover == [1, 2, 3]
+    mid = _scores(inc.open(), Q.term("text", "import"))
+    assert {d for d, _ in mid} == {d for d, _ in before}  # no duplicates
+    # next write heals: merged_from dirs are garbage-collected
+    inc.commit_batch(
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 82))
+    )
+    assert [g for g in inc._gens() if 1 <= g <= 3] == []
+    after = {d for d, _ in _scores(inc.open(), Q.term("text", "import"))}
+    assert after >= {d for d, _ in before if d != 7}
+
+
+def test_partial_merge_stats_follow_lucene_semantics(spark, docs, tmp_path):
+    """After a partial merge, dead docs' df/cf vanish for the MERGED
+    suffix only; the untouched base generation keeps counting its dead
+    docs until its own merge — exactly Lucene's per-segment rule."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 60))
+    inc.commit_batch(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+    )
+    # upsert doc 60 within the delta era: its old delta version is dead
+    inc.commit_batch(
+        docs.filter(F.col("doc_id") == 60).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zzstats"))
+        )
+    )
+    n_before = inc.open().field_stats("text").n_docs  # counts the dead copy
+    merged = inc.partial_merge(start_gen=1)
+    assert merged is not None
+    st = inc.open().field_stats("text")
+    # the merged suffix dropped exactly the one dead copy of doc 60
+    assert st.n_docs == n_before - 1
