@@ -374,20 +374,46 @@ class LuceneCore:
             with open(tmp, "w") as f:
                 json.dump(self._fields_spec, f)
             os.replace(tmp, self._fields_path)
-        text_cols = [n for n, k in self._fields_spec.items() if k == "text"]
+        # analyzer setting: the reference's LuceneSettings analyzer dict
+        # (lucenesettings.py:58-70): MerescoStandardAnalyzer (default)
+        # or MerescoDutchStemmingAnalyzer with per-field stemmingFields —
+        # those text fields go through the Dutch keyword-repeat stemmer
+        # (analysis/dutch.py), so both the original and stemmed forms
+        # are searchable, as in the reference.
+        settings = dict(self._settings)
+        analyzer = settings.pop("analyzer", None) or {}
+        stemming: list[str] = []
+        atype = analyzer.get("type", "MerescoStandardAnalyzer")
+        if atype == "MerescoDutchStemmingAnalyzer":
+            stemming = list(analyzer.get("stemmingFields", ()))
+        elif atype != "MerescoStandardAnalyzer":
+            # lucenesettings.py:70 raises the same way
+            raise ValueError(f"No support for type {atype}")
+        text_cols = [
+            n
+            for n, k in self._fields_spec.items()
+            if k == "text" and n not in stemming
+        ]
+        dutch_cols = [
+            n
+            for n, k in self._fields_spec.items()
+            if k == "text" and n in stemming
+        ]
         keyword_cols = [ID_FIELD] + [
             n for n, k in self._fields_spec.items() if k in ("keyword", "facet")
         ]
         facet_dims = {
             n: [n] for n, k in self._fields_spec.items() if k == "facet"
         }
+        if dutch_cols:
+            settings["dutch_cols"] = dutch_cols
         self._store = IncrementalIndexStore(
             self.spark,
             self.root,
             text_cols=text_cols,
             keyword_cols=keyword_cols,
             facet_fields=facet_dims,
-            **self._settings,
+            **settings,
         )
         return self._store
 

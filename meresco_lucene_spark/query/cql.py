@@ -54,10 +54,16 @@ def _lex(s: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str], unqualified_fields: list[tuple[str, float]]):
+    def __init__(
+        self,
+        tokens: list[str],
+        unqualified_fields: list[tuple[str, float]],
+        stemming_fields: tuple[str, ...] = (),
+    ):
         self.toks = tokens
         self.i = 0
         self.unq = unqualified_fields
+        self.stemming = frozenset(stemming_fields)
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -135,7 +141,25 @@ class _Parser:
         if not analyzed:
             return Q.term(field, "", boost=boost)
         if len(analyzed) == 1:
-            return Q.term(field, analyzed[0], boost=boost)
+            tok = analyzed[0]
+            if field in self.stemming:
+                # the reference's query-side analysis for Dutch-stemmed
+                # fields (queryexpressiontolucenequerydict.py:152-166 +
+                # MerescoDutchStemmingAnalyzer.post_analyzer): a single
+                # token post-analyses to [original, stem] and becomes an
+                # OR of term queries when they differ
+                from meresco_lucene_spark.analysis.dutch import dutch_stem
+
+                stem = dutch_stem(tok)
+                if stem != tok:
+                    return Q.boolean(
+                        (SHOULD, Q.term(field, tok, boost=boost)),
+                        (SHOULD, Q.term(field, stem, boost=boost)),
+                    )
+            return Q.term(field, tok, boost=boost)
+        # multi-token values become a PhraseQuery of the PRE-analysis
+        # tokens — the reference applies post-analysis (stemming) only
+        # in the single-token branch, exactly as here
         return Q.phrase(field, *analyzed, boost=boost)
 
     def _unqualified(self, value: str) -> Q:
@@ -152,9 +176,15 @@ class _Parser:
 def cql_to_query(
     cql: str,
     unqualified_fields: list[tuple[str, float]] | None = None,
+    stemming_fields: tuple[str, ...] = (),
 ) -> Q:
+    """``stemming_fields``: fields whose single-token terms also match
+    their Dutch stem (the reference converter built with a
+    MerescoDutchStemmingAnalyzer, lucenesettings.py:58-70)."""
     return _Parser(
-        _lex(cql), unqualified_fields or [("unqualified", 1.0)]
+        _lex(cql),
+        unqualified_fields or [("unqualified", 1.0)],
+        stemming_fields=stemming_fields,
     ).parse()
 
 

@@ -245,3 +245,42 @@ def test_add_delete(main_core):
     main_core.commit()
     assert main_core.executeQuery(Q.term("__id__", "testrecord:1")).total == 0
     assert main_core.numDocs() == 100
+
+
+def test_dutch_stemming_via_analyzer_setting(spark, tmp_path):
+    """lucenetest.py testDutchStemming through the client API: a core
+    configured with the reference's analyzer setting
+    (lucenesettings.py:58-70, MerescoDutchStemmingAnalyzer with
+    stemmingFields) indexes field4/field5 with keyword-repeat stemming —
+    field5=katten matches the original form, field4=kat matches via the
+    stemmed emission."""
+    core = LuceneCore(
+        spark, str(tmp_path), name="dutch", n_shards=2,
+        analyzer={"type": "MerescoDutchStemmingAnalyzer",
+                  "stemmingFields": ["field4", "field5"]},
+    )
+    for row in _parse_dir(f"{DATA}/main"):
+        fields = [
+            {"type": "TextField", "name": n, "value": row[n]}
+            for n in ("field4", "field5")
+            if isinstance(row.get(n), str)
+        ]
+        if fields:
+            core.addDocument(identifier=row["id"], fields=fields)
+    core.commit()
+    # query through the reference client path: CQL converted with the
+    # core's analyzer (queryexpressiontolucenequerydict.py:152-166 —
+    # 'katten' post-analyses to [katten, kat] -> OR), so field5=katten
+    # matches record:1's "hond en kat" via the stem and field4=kat
+    # matches "honden en katten" via the index-side keyword-repeat
+    from meresco_lucene_spark.query.cql import cql_to_query
+
+    stem = ("field4", "field5")
+    q = cql_to_query("field5=katten", stemming_fields=stem)
+    assert core.executeQuery(q).total == 1
+    q = cql_to_query("field4=kat", stemming_fields=stem)
+    assert core.executeQuery(q).total == 1
+    with pytest.raises(ValueError, match="No support for type"):
+        LuceneCore(spark, str(tmp_path), name="bad", n_shards=2,
+                   analyzer={"type": "NopeAnalyzer"})._ensure_store(
+            samples=[{"f": ("text", "x")}])
