@@ -84,6 +84,18 @@ _FACET_TYPES = {"FacetField"}
 ID_FIELD = "__id__"
 
 
+def _facet_depth(kind: str) -> int:
+    """'facet' -> 1, 'facet:N' -> N."""
+    return int(kind.split(":", 1)[1]) if ":" in kind else 1
+
+
+def _facet_level_cols(name: str, depth: int) -> list[str]:
+    """Forward-table columns of a hierarchical facet dim: level 0 keeps
+    the bare field name (depth-1 compatible), deeper levels get
+    dot-suffixed siblings."""
+    return [name] + [f"{name}.lvl{i}" for i in range(1, depth)]
+
+
 class LuceneCore:
     def __init__(
         self,
@@ -364,10 +376,15 @@ class LuceneCore:
                 for name, (kind, _) in flds.items():
                     prev = spec.get(name)
                     if prev is not None and prev != kind:
-                        raise ValueError(
-                            f"conflicting field kinds for {name!r} in the "
-                            f"first commit: {prev!r} vs {kind!r}"
-                        )
+                        if prev.startswith("facet") and kind.startswith("facet"):
+                            # hierarchical facet paths may vary in depth
+                            # across docs; the spec pins the MAX depth
+                            kind = max(prev, kind, key=_facet_depth)
+                        else:
+                            raise ValueError(
+                                f"conflicting field kinds for {name!r} in "
+                                f"the first commit: {prev!r} vs {kind!r}"
+                            )
                     spec[name] = kind
             self._fields_spec = spec
             tmp = self._fields_path + ".tmp"
@@ -400,11 +417,14 @@ class LuceneCore:
             if k == "text" and n in stemming
         ]
         keyword_cols = [ID_FIELD] + [
-            n for n, k in self._fields_spec.items() if k in ("keyword", "facet")
+            n for n, k in self._fields_spec.items() if k == "keyword"
         ]
-        facet_dims = {
-            n: [n] for n, k in self._fields_spec.items() if k == "facet"
-        }
+        facet_dims: dict[str, list[str]] = {}
+        for n, k in self._fields_spec.items():
+            if k.startswith("facet"):
+                levels = _facet_level_cols(n, _facet_depth(k))
+                facet_dims[n] = levels
+                keyword_cols.extend(levels)
         if dutch_cols:
             settings["dutch_cols"] = dutch_cols
         self._store = IncrementalIndexStore(
@@ -444,10 +464,18 @@ class LuceneCore:
                         if isinstance(value, float)
                         else "text"
                     )
+                if kind.startswith("facet"):
+                    value = (
+                        tuple(str(v) for v in value)
+                        if isinstance(value, (list, tuple))
+                        else (str(value),)
+                    )
+                    kind = "facet" if len(value) == 1 else f"facet:{len(value)}"
                 out[name] = (kind, value)
             return out
         for fd in fields:
-            t, name, value = fd["type"], fd["name"], fd["value"]
+            t, name = fd["type"], fd["name"]
+            value = fd.get("value")  # FacetField may carry "path" instead
             if t in _TEXT_TYPES:
                 kind = "text"
             elif t in _KEYWORD_TYPES:
@@ -457,7 +485,18 @@ class LuceneCore:
             elif t in _DOUBLE_TYPES:
                 kind, value = "double", float(value)
             elif t in _FACET_TYPES:
-                kind = "facet"
+                # the reference wire format carries a PATH array for
+                # hierarchical facets (DocumentStringToDocument.java:
+                # 145-152 reads "path"; fields2lucenedoc.py:84 sends a
+                # list); a plain "value" is a depth-1 path
+                path = fd.get("path", value)
+                if isinstance(path, (list, tuple)):
+                    path = tuple(str(v) for v in path)
+                else:
+                    path = (str(path),)
+                kind = "facet" if len(path) == 1 else f"facet:{len(path)}"
+                out[name] = (kind, path)
+                continue
             else:
                 raise ValueError(f"unsupported field type {t!r}")
             out[name] = (kind, value)
@@ -473,23 +512,44 @@ class LuceneCore:
                         f"{sorted(spec)} (field typing is fixed at core "
                         "creation, like the reference registry)"
                     )
-        sql_type = {"text": "string", "keyword": "string", "facet": "string",
+                pinned = spec[name]
+                if kind.startswith("facet") and pinned.startswith("facet"):
+                    if _facet_depth(kind) > _facet_depth(pinned):
+                        raise ValueError(
+                            f"facet path for {name!r} deeper than the "
+                            f"pinned dim ({_facet_depth(kind)} > "
+                            f"{_facet_depth(pinned)} levels)"
+                        )
+        sql_type = {"text": "string", "keyword": "string",
                     "long": "long", "double": "double"}
-        schema = f"{ID_FIELD} string, " + ", ".join(
-            f"`{n}` {sql_type[k]}" for n, k in spec.items()
+        # one column per scalar field; a hierarchical facet (kind
+        # 'facet:N') expands to its N level columns
+        cols: list[tuple[str, str, tuple[str, int | None]]] = []
+        for n, k in spec.items():
+            if k.startswith("facet"):
+                for i, c in enumerate(_facet_level_cols(n, _facet_depth(k))):
+                    cols.append((c, "string", (n, i)))
+            else:
+                cols.append((n, sql_type[k], (n, None)))
+        schema = f"`{ID_FIELD}` string, " + ", ".join(
+            f"`{c}` {t}" for c, t, _ in cols
         )
+
+        def cell(flds: dict, src: tuple[str, int | None]):
+            n, lvl = src
+            if n not in flds:
+                return None
+            v = flds[n][1]
+            if lvl is None:
+                return v
+            return v[lvl] if lvl < len(v) else None
+
         rows = [
-            tuple(
-                [ident]
-                + [
-                    flds[n][1] if n in flds else None
-                    for n in spec
-                ]
-            )
+            tuple([ident] + [cell(flds, src) for _, _, src in cols])
             for ident, flds in adds.items()
         ]
         return self.spark.createDataFrame(rows, schema).withColumn(
-            "doc_id", F.xxhash64(F.col(ID_FIELD))
+            "doc_id", F.xxhash64(F.col(f"`{ID_FIELD}`"))
         )
 
     def _hash_ids(self, identifiers: list[str]) -> list[int]:

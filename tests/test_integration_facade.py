@@ -6,10 +6,10 @@ wire-format addDocument field dicts, executeQuery / prefixSearch /
 executeComposedQuery calls, identifier-keyed delete.
 
 The LOW-level recast of the same goldens (DataFrame index + executor)
-lives in tests/test_integration_corpus.py; Dutch stemming and the
-hierarchical facet walk stay there (per-field analyzers and multi-level
-facet paths are not facade surface). Skipped when the reference tree is
-absent."""
+lives in tests/test_integration_corpus.py. Since round 5 the facade
+covers the full set: per-field Dutch stemming via the analyzer setting
+and hierarchical facet paths via FacetField "path" arrays are client-API
+surface too. Skipped when the reference tree is absent."""
 
 import os
 
@@ -284,3 +284,50 @@ def test_dutch_stemming_via_analyzer_setting(spark, tmp_path):
         LuceneCore(spark, str(tmp_path), name="bad", n_shards=2,
                    analyzer={"type": "NopeAnalyzer"})._ensure_store(
             samples=[{"f": ("text", "x")}])
+
+
+def test_hierarchical_facet_via_facade(spark, tmp_path):
+    """lucenetest.py testFieldHierarchicalDrilldown + Search through the
+    client API: FacetField carries a PATH array on the wire
+    (DocumentStringToDocument.java:145-152), drilldown counts come back
+    per level, and an exact-path drilldown query matches 3 records."""
+    core = LuceneCore(spark, str(tmp_path), name="hier",
+                      commit_count=10_000, n_shards=2)
+    for row in _parse_dir(f"{DATA}/main"):
+        fields = [{"type": "TextField", "name": "field1",
+                   "value": row["field1"]}]
+        if row.get("fieldHier"):
+            fields.append({"type": "FacetField",
+                           "name": "untokenized.fieldHier",
+                           "path": row["fieldHier"]})
+        core.addDocument(identifier=row["id"], fields=fields)
+    core.commit()
+    r = core.executeQuery(
+        Q.matchall(),
+        facets=[{"fieldname": "untokenized.fieldHier", "maxTerms": 10}],
+    )
+    top = {t["term"]: t["count"] for t in r.drilldownData[0]["terms"]}
+    assert top == {"parent0": 50, "parent1": 50}
+    r = core.executeQuery(
+        Q.matchall(),
+        facets=[{"fieldname": "untokenized.fieldHier", "maxTerms": 10,
+                 "path": ["parent0"]}],
+    )
+    sub = {t["term"]: t["count"] for t in r.drilldownData[0]["terms"]}
+    # raw-corpus truth (see test_integration_corpus.py note: the
+    # reference suite asserts 17/17/16 only because earlier tests
+    # mutated record state before it ran)
+    assert sub == {"child0": 16, "child1": 17, "child2": 17}
+    # testFieldHierarchicalSearch: exact path -> 3 records
+    r = core.executeQuery(
+        Q.drilldown("untokenized.fieldHier",
+                    ["parent0", "child1", "grandchild2"])
+    )
+    assert r.total == 3
+    # drilldownFieldnames walks the levels
+    assert core.drilldownFieldnames().hits == ["untokenized.fieldHier"]
+    assert set(core.drilldownFieldnames(
+        path=["untokenized.fieldHier"]).hits) == {"parent0", "parent1"}
+    assert set(core.drilldownFieldnames(
+        path=["untokenized.fieldHier", "parent0"]).hits) == {
+        "child0", "child1", "child2"}
