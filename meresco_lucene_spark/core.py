@@ -80,6 +80,7 @@ _KEYWORD_TYPES = {"StringField", "NoTermsFrequencyField", "KeyField"}
 _LONG_TYPES = {"IntField", "LongField", "IntPoint", "LongPoint", "NumericField"}
 _DOUBLE_TYPES = {"DoubleField", "DoublePoint"}
 _FACET_TYPES = {"FacetField"}
+_LATLON_TYPES = {"LatLonField"}
 
 ID_FIELD = "__id__"
 
@@ -497,6 +498,11 @@ class LuceneCore:
                 kind = "facet" if len(path) == 1 else f"facet:{len(path)}"
                 out[name] = (kind, path)
                 continue
+            elif t in _LATLON_TYPES:
+                # DocumentStringToDocument.java:153-157: value [lat, lon]
+                lat, lon = value
+                out[name] = ("latlon", (float(lat), float(lon)))
+                continue
             else:
                 raise ValueError(f"unsupported field type {t!r}")
             out[name] = (kind, value)
@@ -529,6 +535,11 @@ class LuceneCore:
             if k.startswith("facet"):
                 for i, c in enumerate(_facet_level_cols(n, _facet_depth(k))):
                     cols.append((c, "string", (n, i)))
+            elif k == "latlon":
+                # the executor's DistanceQuery convention: a pair of
+                # <field>_lat / <field>_lon double columns
+                cols.append((f"{n}_lat", "double", (n, 0)))
+                cols.append((f"{n}_lon", "double", (n, 1)))
             else:
                 cols.append((n, sql_type[k], (n, None)))
         schema = f"`{ID_FIELD}` string, " + ", ".join(

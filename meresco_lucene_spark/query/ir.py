@@ -146,7 +146,12 @@ class Q:
             )
             return Q(type="BooleanQuery", clauses=clauses, boost=boost)
         if t == "DistanceQuery":
-            return Q.distance(d["field"], d["lat"], d["lon"], d["maxDistance"])
+            # the reference wire key is "radius" (JsonQueryConverter.
+            # java:333-339); "maxDistance" kept for back-compat
+            return Q.distance(
+                d["field"], d["lat"], d["lon"],
+                d["radius"] if "radius" in d else d["maxDistance"],
+            )
         raise ValueError(f"unknown query type: {t}")
 
     def to_dict(self) -> dict:

@@ -436,3 +436,21 @@ def test_clustered_pagination_skips_preceding_cluster(spark, tmp_path):
     )
     ids = [h.id for h in page.hits]
     assert ids == ["solo"]  # the cluster was page-0 material: skipped, not duplicated
+
+
+def test_latlon_field_and_distance_query(spark, tmp_path):
+    """LatLonField wire format (DocumentStringToDocument.java:153-157:
+    value [lat, lon]) + the reference's DistanceQuery JSON
+    (JsonQueryConverter.java:333-339) through the facade."""
+    c = LuceneCore(spark, str(tmp_path), name="geo", n_shards=2)
+    pts = {"ams": (52.37, 4.89), "rtm": (51.92, 4.48), "ber": (52.52, 13.40)}
+    for ident, (lat, lon) in pts.items():
+        c.addDocument(identifier=ident, fields=[
+            {"type": "TextField", "name": "body", "value": f"city {ident}"},
+            {"type": "LatLonField", "name": "geo", "value": [lat, lon]},
+        ])
+    c.commit()
+    # 80 km around Amsterdam: Rotterdam in, Berlin out
+    r = c.executeQuery({"type": "DistanceQuery", "field": "geo",
+                        "lat": 52.37, "lon": 4.89, "radius": 80_000.0})
+    assert {h.id for h in r.hits} == {"ams", "rtm"}
