@@ -71,6 +71,16 @@ def classify(p: dict) -> str:
         return "A"
     if speedup >= MIN_CALIB_FOR_400K and mini8 >= MIN_8CORE_MINI:
         return "B"
+    if mini2 > 0 and mini8 / mini2 >= 3.0 and mini2 <= BAND_2CORE_MAX:
+        # C (uniform throttle, observed r5 13:20 UTC): BOTH sides slowed
+        # by ~the same host factor (2@314 / 8@975 vs clean 724 / 2345+),
+        # so the RATIO is clean even though absolute levels are capped —
+        # and the 20k mini under-states the 100k ratio (fixed overhead
+        # hits the fast side harder), so >=3.0 here projects >=0.8 raw.
+        # The 2-core-below-band guard keeps the gate's band_ok check
+        # honest: a pass in this regime is a throttled-baseline pass,
+        # never an inflated-denominator one.
+        return "C"
     return "capped"
 
 
@@ -90,6 +100,14 @@ def main() -> int:
         elif regime == "B":
             os.environ["MLS_SCALING_MIN_PROBE"] = str(MIN_CALIB_FOR_400K)
             code = bench.scaling_gated(400_000, target="store", log_path=LOG)
+            if code == 0:
+                return 0
+        elif regime == "C":
+            # uniform throttle: calibration speedup is meaningless here
+            # (per-thread turbo differs from job throughput under the
+            # cap) — gate on the measured job ratio itself
+            os.environ["MLS_SCALING_MIN_PROBE"] = "2.2"
+            code = bench.scaling_gated(100_000, target="store", log_path=LOG)
             if code == 0:
                 return 0
         if time.time() + PROBE_SLEEP_S < deadline:
