@@ -292,20 +292,75 @@ class IncrementalIndexStore:
         proportional to the DELTA volume (log-amortized), and the base
         is only folded by a full merge once the accumulated deltas reach
         half its size. Returns the merged generation number, or None if
-        below the threshold."""
+        below the threshold (or when nothing can be folded without
+        re-encoding a dominant base — the count may then sit above the
+        tier until newer deltas break the dominance, as in Lucene's
+        tiered policy where segmentsPerTier applies PER TIER)."""
         gens = self._gens()
         if len(gens) <= segments_per_tier:
             return None
         sizes = {g: self._gen_ndocs(g) for g in gens}
         i = 0
-        while i < len(gens) - 1 and sizes[gens[i]] >= 2 * sum(
-            sizes[g] for g in gens[i + 1:]
-        ):
+        # a tombstone-only generation (size 0) is never a dominant base:
+        # without the > 0 guard, `0 >= 2*0` walks the loop through a
+        # delete-only suffix and degenerates into force_merge — a full
+        # re-encode of the base for a pure-delete workload
+        while i < len(gens) - 1 and sizes[gens[i]] > 0 and sizes[
+            gens[i]
+        ] >= 2 * sum(sizes[g] for g in gens[i + 1:]):
             i += 1
         suffix = gens[i:]
-        if i == 0 or len(suffix) < 2 or sum(sizes[g] for g in suffix) == 0:
+        if i == 0:
             return self.force_merge()
+        if sum(sizes[g] for g in suffix) == 0:
+            # delete-only suffix: fold the tombstone SETS into one
+            # tombstone-only generation; the base is never touched
+            return (
+                self._fold_tombstone_gens(suffix) if len(suffix) >= 2 else None
+            )
+        if len(suffix) < 2:
+            return None
         return self.partial_merge(suffix[0])
+
+    def _fold_tombstone_gens(self, gens: list[int]) -> int | None:
+        """Fold a contiguous SUFFIX of tombstone-only generations into
+        one tombstone-only generation (union of their tombstone sets).
+
+        Relocating a tombstone from gen g to the new gen N widens its
+        mask from `row_gen < g` to `row_gen < N`; the only generations
+        in [g, N) are the folded suffix itself, which carries no rows —
+        so the visible corpus is unchanged. DELTA-scale I/O only: no
+        store is re-encoded. Crash-safe like partial_merge: the folded
+        gen commits (with ``merged_from``) before the suffix dirs are
+        deleted, and _clean_crashed heals a partial deletion."""
+        self._clean_crashed()
+        gen = self._next_gen()
+        gen_dir = os.path.join(self.root, _gen_name(gen))
+        os.makedirs(gen_dir)
+        tomb: DataFrame | None = None
+        for g in gens:
+            tdir = os.path.join(self.root, _gen_name(g), "tombstones")
+            if os.path.isdir(tdir):
+                t = self.spark.read.parquet(tdir).select("doc_id")
+                tomb = t if tomb is None else tomb.unionByName(t)
+        if tomb is None:
+            shutil.rmtree(gen_dir, ignore_errors=True)
+            return None
+        tomb.distinct().write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "tombstones")
+        )
+        meta: dict = {"merged_from": list(gens)}
+        eps = max(
+            (int(self._gen_meta(g).get("stream_epoch", -1)) for g in gens),
+            default=-1,
+        )
+        if eps >= 0:
+            meta["stream_epoch"] = eps
+        _write_meta(gen_dir, meta)
+        COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
+        for g in gens:
+            shutil.rmtree(os.path.join(self.root, _gen_name(g)), ignore_errors=True)
+        return gen
 
     def partial_merge(self, start_gen: int) -> int | None:
         """Fold the SUFFIX of generations >= start_gen into one, leaving

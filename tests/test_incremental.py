@@ -451,6 +451,31 @@ def test_partial_merge_leaves_base_untouched(spark, docs, tmp_path):
     assert all(c == 1 for c in got.values())
 
 
+def test_delete_only_suffix_never_reencodes_base(spark, docs, tmp_path):
+    """Pure-delete workload (round-5 regression): a dominant base plus
+    nine tombstone-only commits must fold the TOMBSTONE SETS into one
+    tombstone-only generation — never force_merge the base (a zero-size
+    gen satisfies `0 >= 2*0`, so without the size>0 guard the dominance
+    walk ran through the zeros and re-encoded the whole corpus)."""
+    inc = IncrementalIndexStore(spark, str(tmp_path / "inc"), **CFG)
+    inc.commit_batch(docs.filter(F.col("doc_id") < 60))  # base: 60 docs
+    for d in range(9):  # nine delete-only commits
+        inc.delete([d])
+    base_dir = os.path.join(str(tmp_path / "inc"), "gen-000000")
+    base_mtime = os.path.getmtime(base_dir)
+
+    merged = inc.maybe_merge(segments_per_tier=8)  # 10 gens > 8 -> merge
+    assert merged is not None
+    multi = inc.open()
+    assert multi.gens == [0, merged], "expected base + one folded tomb gen"
+    assert os.path.getmtime(base_dir) == base_mtime, "base dir rewritten"
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path / "inc"), f"gen-{merged:06d}", "store")
+    ), "folded generation must be tombstone-only (no re-encoded store)"
+    live = {r["doc_id"] for r in multi.forward.select("doc_id").collect()}
+    assert live == set(range(9, 60)), "all nine deletes survive the fold"
+
+
 def test_partial_merge_crash_window_heals(spark, docs, tmp_path, monkeypatch):
     """A crash between the merged gen's _COMMITTED marker and the suffix
     deletions leaves a bigger-but-consistent store (the merged gen's
