@@ -220,10 +220,15 @@ def test_as_of_snapshot_read(spark, docs, tmp_path):
 
 
 def test_random_op_sequences_match_dict_model(spark, tmp_path):
-    """Model check: random interleavings of add/update/delete/merge must
-    leave the store's visible state equal to a plain dict applying the
-    same ops (seeded, 3 sequences x 12 ops; Spark builds are the cost
-    ceiling, not the example count)."""
+    """Model check: random interleavings of add/update/delete/merge —
+    including the size-tiered PARTIAL merge (maybe_merge, round 5: delta
+    -suffix fold + delete-only-suffix tombstone fold) — must leave the
+    store's visible state equal to a plain dict applying the same ops
+    (seeded, 3 sequences x 12 ops; Spark builds are the cost ceiling,
+    not the example count). Each sequence ends with force_merge and a
+    score comparison against a FRESH one-shot build of the model state:
+    after a full merge, stats cover live docs only, so scores must be
+    bit-equal to a from-scratch store."""
     import random
 
     for seed in (11, 23, 47):
@@ -241,9 +246,14 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
         )
         model.update(first)
         for step in range(12):
-            op = rng.choice(["add", "update", "delete", "merge"])
+            op = rng.choice(["add", "update", "delete", "merge", "tier"])
             if op == "merge":
                 inc.force_merge()
+            elif op == "tier":
+                # partial-merge trigger at the smallest tier: exercises
+                # the dominant-base skip, the delta-suffix fold, and the
+                # delete-only-suffix tombstone fold on random states
+                inc.maybe_merge(segments_per_tier=2)
             elif op == "delete":
                 if not model:
                     continue
@@ -273,6 +283,28 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
         ids = [r["doc_id"] for r in hits(inc.open(), q).collect()]
         assert sorted(ids) == sorted(set(ids)), f"seed {seed}: duplicate hits"
         assert set(ids) == set(model)
+        # endpoint: full merge == fresh one-shot build, SCORES included
+        # (live-only stats after the fold, whatever merge path got here)
+        inc.force_merge()
+        merged_scores = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in hits(inc.open(), q).collect()
+        }
+        fresh = IncrementalIndexStore(spark, str(tmp_path / f"fresh{seed}"), **CFG)
+        if model:
+            fresh.commit_batch(
+                spark.createDataFrame(
+                    [(k, v, "en") for k, v in sorted(model.items())],
+                    "doc_id long, text string, lang string",
+                )
+            )
+            fresh_scores = {
+                r["doc_id"]: round(r["score"], 9)
+                for r in hits(fresh.open(), q).collect()
+            }
+        else:
+            fresh_scores = {}
+        assert merged_scores == fresh_scores, f"seed {seed}"
 
 
 def test_composed_query_over_incremental_core(spark, tmp_path):
