@@ -712,6 +712,35 @@ def q_dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the
+    canonical-document step of a dedup pipeline (pairs -> clusters ->
+    one survivor per cluster). Two plantings per base doc (edits
+    ' zzq zzr zzs' and ' zzq zzr zzt') make each cluster a TRIANGLE
+    (base, +1M, +2M), so star contraction must actually merge chains,
+    not just echo pairs. Pair recall argument is dd_minhash_lsh's
+    (planted jaccard ~0.9, banded miss ~4e-8); components are then
+    exact over the pair set, so the entry is oracle-checked against a
+    DuckDB recursive-CTE min-reachability over the identical pairs."""
+    from meresco_lucene_spark.extras.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    plant2 = df.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzq zzr zzt")).alias("text"),
+    )
+    corpus = _with_planted(df, plant_below=8, edit=" zzq zzr zzs").unionByName(plant2)
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text", n=5, n_hashes=64, bands=16, threshold=0.3
+    )
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over doc_id < 100 plus 10 planted near-copies
     (one appended token -> shingle-jaccard ~0.97 per pair). ORACLE-
@@ -1036,6 +1065,7 @@ QUERIES = {
     "dd_prefix_fingerprint": q_dd_prefix_fingerprint,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
+    "dd_components": q_dd_components,
     "dd_simhash": q_dd_simhash,
     "dd_embedding_cosine": q_dd_embedding_cosine,
     "ann_cosine_top10": q_ann_cosine_top10,
@@ -1317,6 +1347,9 @@ _TWIN_ROTATION: list[tuple[str, str]] = [
     # NOT-clause twins that never had rows (oracle shared w/ cql_boolean)
     ("suggest_ngram", "bool_must_not"),
     ("seg_cq_rank_blend", "seg_bool_must_not"),
+    # minhash pairs vs their connected-components superset pipeline
+    # (identical pair stage; the odd seat drives star contraction)
+    ("dd_minhash_lsh", "dd_components"),
     # durable composed-query twins of the in-window cq_* entries; odd
     # seats go to the newly oracle-backed approximate-index entries
     ("seg_cq_join_semi", "dd_simhash"),
@@ -1538,6 +1571,46 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
 ORDER BY id_a, id_b
+""",
+    # dd_components: recursive-CTE min-reachability over the SAME pair set
+    # as dd_minhash_lsh (plus the second planting) — component label =
+    # smallest reachable doc id, exactly the star-contraction fixpoint.
+    "dd_components": """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzq zzr zzs' FROM base WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzq zzr zzt' FROM base WHERE doc_id < 8
+), tk AS (
+  SELECT doc_id, regexp_extract_all(lower(strip_accents(text)), '[a-z0-9_]+') AS t
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                          i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM tk
+), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id
 """,
     # dd_embedding_cosine: exact-cosine verify on deterministic hyperplane-
     # LSH candidates; at planted cosine ~1 recall is 1 for the seeded

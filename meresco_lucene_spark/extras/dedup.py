@@ -457,3 +457,81 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Distributed connected components over a near-duplicate pair
+    graph: (doc_id, component) where component = the smallest doc id
+    reachable from doc_id. This is the canonical-document step of a
+    dedup pipeline — every member of a near-dup cluster maps to one
+    survivor (the component label), whatever chain of pairwise matches
+    connects them.
+
+    Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the published scale path for trillion-edge graphs.
+    Each half-round is ONE shuffle (groupBy-min + re-join on the same
+    key); convergence takes O(log n) rounds regardless of component
+    diameter, so a year-long chain of pairwise near-dups costs the same
+    as a tight cluster. Iteration state is localCheckpoint'ed so the
+    Catalyst plan stays flat instead of doubling per round; each round's
+    edge set is persisted and the previous one unpersisted, so executor
+    memory holds at most two edge sets.
+
+    The driver loop runs until the edge set reaches its star-graph
+    fixpoint (checked with ONE exceptAll count per round — cheap
+    because both sides are already cached) or max_iter, whichever is
+    first; 30 rounds covers graphs to ~2^30 nodes in the worst case.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        neighbor_edges = (
+            oriented.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        return neighbor_edges.union(self_edges).distinct()
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(e)).localCheckpoint()
+        changed = nxt.exceptAll(e).limit(1).count() or e.exceptAll(nxt).limit(1).count()
+        prev, e = e, nxt
+        prev.unpersist()
+        if not changed:
+            break
+
+    # Star-graph fixpoint: every non-root has exactly one (node, root)
+    # edge; roots label themselves.
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("doc_id"), F.col("v").alias("component")))
+        .distinct()
+    )

@@ -340,3 +340,58 @@ def test_multimodal_pluggable_decoder(spark):
     # the fake decode itself: payload bytes tiled into an 8x8 [0,1] frame
     frame = multimodal.FakeDecoder().decode("image", "image/png", b"\x00\xff" * 40)
     assert frame.shape == (8, 8) and frame.min() >= 0.0 and frame.max() <= 1.0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Star contraction (large-star/small-star) must label every node
+    with its component's min id — checked against a pure-Python
+    union-find on seeded random graphs, including long chains (worst
+    case for naive min-propagation: convergence must be O(log n), not
+    O(diameter), but LABELS must still be exact)."""
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = {}
+        for v in {x for e in edges for x in e}:
+            r = find(v)
+            while parent[r] != r:
+                r = parent[r]
+            labels[v] = r
+        # normalize: label = min node id in the component
+        comp_min = {}
+        for v, r in labels.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[r] for v, r in labels.items()}
+
+    cases = []
+    for seed, n_nodes, n_edges in [(3, 40, 25), (7, 60, 80), (13, 30, 12)]:
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+        )
+    # a 64-node pure chain: diameter 63, must converge in O(log n) rounds
+    cases.append([(i, i + 1) for i in range(63)])
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(
+                spark.createDataFrame(pdf)
+            ).collect()
+        }
+        want = uf_components(max(max(e) for e in edges) + 1, edges)
+        assert got == want
