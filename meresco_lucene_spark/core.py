@@ -699,11 +699,19 @@ class LuceneCore:
         if not words:
             return out
         wdf = self.spark.createDataFrame([(w,) for w in words], "word string")
+        # length-gap prefilter (|len| difference > 2 can't be within
+        # distance 2) keeps most of the dictionary out of the edit-
+        # distance loop; the thresholded levenshtein then early-exits
+        # per pair (returns -1 above the cutoff) instead of filling the
+        # full DP matrix — both stay inside whole-stage codegen.
         j = (
             F.broadcast(wdf)
             .crossJoin(reader.term_stats_for(field))
-            .withColumn("_d", F.levenshtein(F.col("word"), F.col("term")))
-            .filter(F.col("_d") <= 2)
+            .filter(
+                F.abs(F.length(F.col("word")) - F.length(F.col("term"))) <= 2
+            )
+            .withColumn("_d", F.levenshtein(F.col("word"), F.col("term"), 2))
+            .filter(F.col("_d") >= 0)
             .withColumn(
                 "_word_df",
                 F.max(F.when(F.col("_d") == 0, F.col("df"))).over(
