@@ -162,7 +162,12 @@ def execute_composed(
     key_filters: list[tuple[DataFrame, str, bool]] = []
     unite_sets: dict[str, DataFrame] = {}
     if cq.relational_filter is not None:
-        ks = cq.relational_filter.collect_keys(cores)
+        from meresco_lucene_spark.compose.relational import RQ
+
+        rf = cq.relational_filter
+        if isinstance(rf, dict):  # reference wire shape accepted as-is
+            rf = RQ.from_dict(rf)
+        ks = rf.collect_keys(cores)
         key_name = cq.key_name(result_core, result_core)
         key_filters.append((ks.keys, key_name, ks.inverted))
     for u in cq.unites:

@@ -111,3 +111,52 @@ class RQ:
                 return KeySet(a.keys.join(b.keys, "key", "left_anti"), True)
             return KeySet(a.keys.join(b.keys, "key", "left_semi"), True)
         raise ValueError(f"unknown RQ kind {self.kind}")
+
+    # -------------------------------------------------- wire round-trip
+    @staticmethod
+    def from_dict(d: dict) -> "RQ":
+        """Parse the reference's relational wire dicts
+        (JsonQueryConverter.java:238-275; the Python client emits them in
+        queryexpressiontolucenequerydict.py:148 with collectKeyName ==
+        filterKeyName always). Differing collect/filter key names change
+        the reference's keyset PUSH-DOWN target mid-chain
+        (RelationalLuceneQuery.java:143-149) — a shape the pure set
+        algebra here does not model, so it is rejected loudly rather
+        than answered wrong."""
+        from meresco_lucene_spark.query.ir import Q
+
+        t = d["type"]
+        if t == "RelationalLuceneQuery":
+            collect = d["collectKeyName"]
+            if d.get("filterKeyName", collect) != collect:
+                raise NotImplementedError(
+                    "RelationalLuceneQuery with filterKeyName != "
+                    "collectKeyName is not supported"
+                )
+            return RQ.lucene(d["core"], collect, Q.from_dict(d["query"]))
+        if t == "JoinAndQuery":
+            return RQ.and_(RQ.from_dict(d["first"]), RQ.from_dict(d["second"]))
+        if t == "JoinOrQuery":
+            return RQ.or_(RQ.from_dict(d["first"]), RQ.from_dict(d["second"]))
+        if t == "RelationalNotQuery":
+            return RQ.not_(RQ.from_dict(d["query"]))
+        raise ValueError(f"unknown relational query type: {t}")
+
+    def to_dict(self) -> dict:
+        """Inverse of from_dict (the reference wire shape)."""
+        if self.kind == "lucene":
+            return {
+                "type": "RelationalLuceneQuery",
+                "core": self.kw["core"],
+                "collectKeyName": self.kw["key_field"],
+                "filterKeyName": self.kw["key_field"],
+                "query": self.kw["query"].to_dict(),
+            }
+        if self.kind == "not":
+            return {"type": "RelationalNotQuery", "query": self.kw["q"].to_dict()}
+        wire = "JoinAndQuery" if self.kind == "and" else "JoinOrQuery"
+        return {
+            "type": wire,
+            "first": self.kw["first"].to_dict(),
+            "second": self.kw["second"].to_dict(),
+        }

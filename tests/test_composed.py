@@ -466,3 +466,44 @@ def test_relational_not_filter(cores):
     )
     r, got = ids(cores, cq)
     assert r.total == 2 and set(got) == {"A-MU", "A-MQU"}
+
+
+def test_relational_filter_from_wire_dict(cores):
+    """The reference's relational wire dicts (JsonQueryConverter.java:
+    238-275, emitted by queryexpressiontolucenequerydict.py:148 with
+    collectKeyName == filterKeyName) are accepted verbatim as
+    relational_filter and round-trip through RQ.to_dict/from_dict."""
+    import pytest as _pytest
+
+    wire = {
+        "type": "RelationalNotQuery",
+        "query": {
+            "type": "JoinAndQuery",
+            "first": {
+                "type": "RelationalLuceneQuery",
+                "core": "coreA", "collectKeyName": "A", "filterKeyName": "A",
+                "query": {"type": "TermQuery",
+                          "term": {"field": "M", "value": "true"}},
+            },
+            "second": {
+                "type": "RelationalLuceneQuery",
+                "core": "coreB", "collectKeyName": "B", "filterKeyName": "B",
+                "query": {"type": "TermQuery",
+                          "term": {"field": "O", "value": "true"}},
+            },
+        },
+    }
+    cq = ComposedQuery("coreA", queries={"coreA": Q.term("M", "true")})
+    cq.add_match("coreA", "A", "coreB", "B")
+    cq.relational_filter = wire  # dict, not RQ
+    r, got = ids(cores, cq)
+    assert r.total == 2 and set(got) == {"A-MU", "A-MQU"}
+
+    # round-trip identity
+    assert RQ.from_dict(wire).to_dict() == wire
+
+    # differing filter/collect key names are a push-down shape the set
+    # algebra does not model: reject loudly
+    bad = dict(wire["query"]["first"], filterKeyName="OTHER")
+    with _pytest.raises(NotImplementedError):
+        RQ.from_dict(bad)
