@@ -216,9 +216,43 @@ def build_index_store(
                 "overwrite"
             ).parquet(os.path.join(out_dir, "forward"))
         # field lengths: second codegen tokenize pass, shuffle-free —
-        # cheaper than joining against the postings shuffle.
+        # cheaper than joining against the postings shuffle. When the
+        # field list is known (tokenize path), the per-field corpus
+        # stats (n_docs, sum_dl) ride this write as conditional-sum
+        # Observations — one fewer job on the per-commit refresh path;
+        # the precomputed-frames merge path keeps the groupBy collect.
+        known_fields = (
+            list(
+                dict.fromkeys(
+                    [
+                        *(text_cols or []),
+                        *(array_cols or []),
+                        *(dutch_cols or []),
+                        *(keyword_cols or []),
+                    ]
+                )
+            )
+            if occurrences is None
+            else None
+        )
+        len_obs = None
         if not _stage_done(os.path.join(out_dir, "field_lengths")):
-            lengths_lazy.write.mode("overwrite").parquet(
+            lengths_write = lengths_lazy
+            if known_fields:
+                len_obs = Observation()
+                aggs = []
+                for i, fname in enumerate(known_fields):
+                    cond = F.col("field") == fname
+                    aggs.append(
+                        F.sum(F.when(cond, 1).otherwise(0)).alias(f"nd_{i}")
+                    )
+                    aggs.append(
+                        F.sum(F.when(cond, F.col("dl")).otherwise(0)).alias(
+                            f"sdl_{i}"
+                        )
+                    )
+                lengths_write = lengths_write.observe(len_obs, *aggs)
+            lengths_write.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "field_lengths")
             )
         n_docs = (
@@ -310,14 +344,28 @@ def build_index_store(
         remaining = [s for s in range(n_shards) if s not in done_shards]
         flat = flat.filter(F.col("shard").isin(remaining))
 
-        # per-field corpus stats from the WRITTEN lengths table (one small
-        # aggregate; nothing recomputed from raw text)
+        # per-field corpus stats: from the lengths-write Observation when
+        # available (zero extra jobs), else one small aggregate over the
+        # WRITTEN lengths table (nothing recomputed from raw text either
+        # way). Zero-row fields are dropped to match the groupBy shape.
         omit = set(keyword_cols or [])
-        stat_rows = (
-            lengths_df.groupBy("field")
-            .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
-            .collect()
-        )
+        if len_obs is not None:
+            vals = len_obs.get
+            stat_rows = [
+                {
+                    "field": fname,
+                    "nd": int(vals[f"nd_{i}"] or 0),
+                    "sdl": int(vals[f"sdl_{i}"] or 0),
+                }
+                for i, fname in enumerate(known_fields)
+            ]
+            stat_rows = [r for r in stat_rows if r["nd"] > 0]
+        else:
+            stat_rows = (
+                lengths_df.groupBy("field")
+                .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
+                .collect()
+            )
         field_stats_meta = {
             r["field"]: {
                 "n_docs": int(r["nd"]),
