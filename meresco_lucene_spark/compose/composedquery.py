@@ -79,12 +79,37 @@ class ComposedQuery:
     dedup_sort_fields: list[dict] = dc_field(default_factory=list)
     stored_fields: list[str] = dc_field(default_factory=list)
     relational_filter: "RQ | None" = None
+    # wire-fidelity extras (round-tripped; consumed by the facade layer
+    # where applicable — execute_composed itself has no suggest/cluster
+    # stage, mirroring MultiLucene.java which doesn't either)
+    suggestion_request: dict | None = None
+    clustering: bool = False
+    clustering_config: dict | None = None
+    unqualified_term_fields: list | None = None
+    # as-declared match specs, keyed by the (coreA, coreB) direction the
+    # client registered — kept so to_dict() reproduces the exact
+    # uniqueKey/key spec split the reference's asDict() emits
+    match_specs: dict[tuple[str, str], tuple[dict, dict]] = dc_field(
+        default_factory=dict
+    )
 
     def add_match(self, core_a: str, key_a: str, core_b: str, key_b: str) -> None:
         """composedquery.py:119-132 addMatch: declare the key field each
         side of a core pair joins on."""
         self.matches[(core_a, core_b)] = key_a
         self.matches[(core_b, core_a)] = key_b
+        if (core_a, core_b) not in self.match_specs:
+            # the reference requires the resultsFrom side to declare
+            # uniqueKey; the foreign side declares key (addMatch
+            # validation, composedquery.py:119-132)
+            def spec(core: str, key: str) -> dict:
+                kind = "uniqueKey" if core == self.result_from else "key"
+                return {"core": core, kind: key}
+
+            self.match_specs[(core_a, core_b)] = (
+                spec(core_a, key_a),
+                spec(core_b, key_b),
+            )
 
     def key_name(self, core: str, other: str) -> str:
         """Key field of `core` in the match between core and other.
@@ -122,6 +147,166 @@ class ComposedQuery:
         if self.unites:
             raise ValueError("only one unite supported (reference parity)")
         self.unites.append(Unite(core_a, query_a, core_b, query_b))
+
+    # --------------------------------------------------- wire round-trip
+    @staticmethod
+    def from_dict(dct: dict) -> "ComposedQuery":
+        """Accept the reference's ComposedQuery HTTP wire shape — the
+        exact dict its ``asDict()`` emits and ``fromDict()`` accepts
+        (composedquery.py:243-258) — decoding Lucene query dicts via
+        :meth:`Q.from_dict`. Values that are already :class:`Q` (or any
+        non-dict placeholder) pass through untouched, matching the
+        reference's opaque-query behavior."""
+
+        def dec(v):
+            return Q.from_dict(v) if isinstance(v, dict) else v
+
+        cq = ComposedQuery(result_from=dct["resultsFrom"])
+        for core, qd in (dct.get("_queries") or {}).items():
+            cq.queries[core] = dec(qd)
+        for wire_key, target in (
+            ("_filterQueries", cq.filter_queries),
+            ("_excludeFilterQueries", cq.exclude_filter_queries),
+            ("_otherCoreFacetFilters", cq.other_core_facet_filters),
+        ):
+            for core, qs in (dct.get(wire_key) or {}).items():
+                target[core] = [dec(q) for q in qs]
+        for core, qd in (dct.get("_rankQueries") or {}).items():
+            cq.rank_queries[core] = dec(qd)
+        for core, fs in (dct.get("_facets") or {}).items():
+            cq.facets[core] = list(fs)
+        for core, dds in (dct.get("_drilldownQueries") or {}).items():
+            cq.drilldown_queries[core] = [
+                (dd[0], list(dd[1])) for dd in dds
+            ]
+        for pair, specs in (dct.get("_matches") or {}).items():
+            spec_a, spec_b = (dict(s) for s in specs)
+            # wire keys arrive '->'-joined (asDict); tuples accepted too
+            del pair
+            found_result = False
+            for spec in (spec_a, spec_b):
+                if spec["core"] == cq.result_from:
+                    found_result = True
+                    if "uniqueKey" not in spec:
+                        raise ValueError(
+                            "Match for result core '%s' must have a "
+                            "uniqueKey specification." % cq.result_from
+                        )
+            if not found_result:
+                raise ValueError(
+                    "Match that does not include resultsFromCore ('%s') "
+                    "not yet supported" % cq.result_from
+                )
+            cq.add_match(
+                spec_a["core"], spec_a.get("uniqueKey", spec_a.get("key")),
+                spec_b["core"], spec_b.get("uniqueKey", spec_b.get("key")),
+            )
+            cq.match_specs[(spec_a["core"], spec_b["core"])] = (spec_a, spec_b)
+        for u in dct.get("_unites") or []:
+            cq.add_unite(u["A"][0], dec(u["A"][1]), u["B"][0], dec(u["B"][1]))
+        if dct.get("_start") is not None:
+            cq.start = int(dct["_start"])
+        if dct.get("_stop") is not None:
+            cq.stop = int(dct["_stop"])
+        cq.sort_keys = list(dct.get("_sortKeys") or [])
+        cq.dedup_field = dct.get("_dedupField")
+        dsf = dct.get("_dedupSortField")
+        cq.dedup_sort_fields = (
+            list(dsf) if isinstance(dsf, (list, tuple)) else ([dsf] if dsf else [])
+        )
+        cq.stored_fields = list(dct.get("_storedFields") or [])
+        if dct.get("_rankQueryScoreRatio") is not None:
+            cq.rank_query_score_ratio = float(dct["_rankQueryScoreRatio"])
+        cq.suggestion_request = dct.get("_suggestionRequest")
+        cq.clustering = bool(dct.get("_clustering") or False)
+        cq.clustering_config = dct.get("_clusteringConfig")
+        cq.unqualified_term_fields = dct.get("_unqualifiedTermFields")
+        rfj = dct.get("_relationalFilterJson") or dct.get("relationalFilter")
+        if rfj:
+            import json as _json
+
+            # validate() parity: a non-JSON string is rejected here
+            rfd = _json.loads(rfj) if isinstance(rfj, str) else rfj
+            cq.relational_filter = rfd  # execute decodes via RQ.from_dict
+        return cq
+
+    def to_dict(self) -> dict:
+        """Inverse of :meth:`from_dict` — the reference ``asDict()`` wire
+        shape (vars()-style underscore keys, '->'-joined match keys,
+        Unite as ``{'A': [core, query], 'B': [core, query]}``), so a
+        ComposedQuery built here can be POSTed to a reference service."""
+
+        def enc(q):
+            return q.to_dict() if isinstance(q, Q) else q
+
+        cores = {self.result_from}
+        cores.update(self.queries)
+        cores.update(self.filter_queries)
+        cores.update(self.exclude_filter_queries)
+        cores.update(self.rank_queries)
+        cores.update(self.facets)
+        cores.update(self.drilldown_queries)
+        cores.update(self.other_core_facet_filters)
+        for u in self.unites:
+            cores.update((u.core_a, u.core_b))
+        for sk in self.sort_keys:
+            cores.add(sk.get("core", self.result_from))
+        d: dict = {
+            "resultsFrom": self.result_from,
+            "cores": sorted(cores),
+            "_queries": {c: enc(q) for c, q in self.queries.items()},
+            "_filterQueries": {
+                c: [enc(q) for q in qs] for c, qs in self.filter_queries.items()
+            },
+            "_excludeFilterQueries": {
+                c: [enc(q) for q in qs]
+                for c, qs in self.exclude_filter_queries.items()
+            },
+            "_rankQueries": {c: enc(q) for c, q in self.rank_queries.items()},
+            "_facets": {c: list(fs) for c, fs in self.facets.items()},
+            "_drilldownQueries": {
+                c: [[dim, list(path)] for dim, path in dds]
+                for c, dds in self.drilldown_queries.items()
+            },
+            "_otherCoreFacetFilters": {
+                c: [enc(q) for q in qs]
+                for c, qs in self.other_core_facet_filters.items()
+            },
+            "_matches": {
+                "->".join(pair): [dict(a), dict(b)]
+                for pair, (a, b) in self.match_specs.items()
+            },
+            "_unites": [
+                {"A": [u.core_a, enc(u.query_a)], "B": [u.core_b, enc(u.query_b)]}
+                for u in self.unites
+            ],
+            "_sortKeys": list(self.sort_keys),
+            "_start": self.start,
+            "_stop": self.stop,
+        }
+        if self.dedup_field is not None:
+            d["_dedupField"] = self.dedup_field
+        if self.dedup_sort_fields:
+            d["_dedupSortField"] = list(self.dedup_sort_fields)
+        if self.stored_fields:
+            d["_storedFields"] = list(self.stored_fields)
+        if self.rank_query_score_ratio != 0.5:
+            d["_rankQueryScoreRatio"] = self.rank_query_score_ratio
+        if self.suggestion_request is not None:
+            d["_suggestionRequest"] = self.suggestion_request
+        if self.clustering:
+            d["_clustering"] = True
+        if self.clustering_config is not None:
+            d["_clusteringConfig"] = self.clustering_config
+        if self.unqualified_term_fields is not None:
+            d["_unqualifiedTermFields"] = self.unqualified_term_fields
+        if self.relational_filter is not None:
+            import json as _json
+
+            rf = self.relational_filter
+            rfd = rf if isinstance(rf, dict) else rf.to_dict()
+            d["_relationalFilterJson"] = _json.dumps(rfd)
+        return d
 
 
 def _query_with_drilldowns(cq: ComposedQuery, core: str) -> Q | None:

@@ -173,4 +173,12 @@ class Q:
             )
         elif self.type == "BooleanQuery":
             d["clauses"] = [dict(c.to_dict(), occur=occ) for occ, c in self.clauses]
+        elif self.type == "DistanceQuery":
+            # wire shape of JsonQueryConverter.java:333-339
+            d.update(
+                field=self.field,
+                lat=self.value[0],
+                lon=self.value[1],
+                radius=self.lower,
+            )
         return d

@@ -507,3 +507,143 @@ def test_relational_filter_from_wire_dict(cores):
     bad = dict(wire["query"]["first"], filterKeyName="OTHER")
     with _pytest.raises(NotImplementedError):
         RQ.from_dict(bad)
+
+
+def test_composed_query_wire_round_trip(cores):
+    """ComposedQuery.asDict/fromDict wire parity (reference
+    composedquerytest.py testAsDictFromDict:150-183, recast with real
+    Lucene query dicts instead of opaque strings)."""
+    tq = lambda f, v: {"type": "TermQuery", "term": {"field": f, "value": v}}
+    wire = {
+        "resultsFrom": "coreA",
+        "cores": ["coreA", "coreB"],
+        "_queries": {"coreA": tq("M", "true"), "coreB": tq("N", "true")},
+        "_filterQueries": {"coreA": [tq("Q", "true"), tq("U", "true")]},
+        "_excludeFilterQueries": {},
+        "_facets": {"coreA": [{"fieldname": "cat_M", "maxTerms": 10}]},
+        "_drilldownQueries": {},
+        "_otherCoreFacetFilters": {},
+        "_rankQueries": {},
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "A"},
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+        "_unites": [],
+        "_sortKeys": [{"sortBy": "S", "sortDescending": True}],
+        "_start": 0,
+        "_stop": 10,
+        "_rankQueryScoreRatio": 0.75,
+        "_clusteringConfig": {"clusteringEps": 0.2},
+    }
+    cq = ComposedQuery.from_dict(wire)
+    assert cq.result_from == "coreA"
+    assert cq.start == 0 and cq.stop == 10
+    assert cq.queries["coreA"] == Q.term("M", "true")
+    assert cq.filter_queries["coreA"] == [Q.term("Q", "true"), Q.term("U", "true")]
+    assert cq.key_name("coreA", "coreB") == "A"
+    assert cq.key_name("coreB", "coreA") == "B"
+    assert cq.rank_query_score_ratio == 0.75
+    assert cq.clustering_config == {"clusteringEps": 0.2}
+
+    # to_dict reproduces the wire shape (incl. the uniqueKey/key split),
+    # and a second from_dict is a fixpoint
+    d2 = cq.to_dict()
+    assert d2["_matches"] == wire["_matches"]
+    assert d2["_queries"] == wire["_queries"]
+    assert d2["_filterQueries"] == wire["_filterQueries"]
+    assert d2["_sortKeys"] == wire["_sortKeys"]
+    assert d2["cores"] == ["coreA", "coreB"]
+    assert ComposedQuery.from_dict(d2).to_dict() == d2
+
+
+def test_composed_query_wire_match_validation():
+    """addMatch validation parity (composedquery.py:119-132): the
+    resultsFrom side must declare uniqueKey, and a match not touching
+    the result core is rejected."""
+    base = {
+        "resultsFrom": "coreA",
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "key": "A"},  # key, not uniqueKey
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+    }
+    with pytest.raises(ValueError, match="uniqueKey"):
+        ComposedQuery.from_dict(base)
+    foreign = {
+        "resultsFrom": "coreX",
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "A"},
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+    }
+    with pytest.raises(ValueError, match="resultsFromCore"):
+        ComposedQuery.from_dict(foreign)
+
+
+def test_composed_query_from_wire_executes(cores):
+    """A join query built ONLY from the wire dict executes identically
+    to the directly-constructed ComposedQuery (testJoinQuery,
+    MultiLuceneTest.java:~150)."""
+    wire = {
+        "resultsFrom": "coreA",
+        "_queries": {
+            "coreA": {"type": "MatchAllDocsQuery"},
+            "coreB": {"type": "TermQuery", "term": {"field": "N", "value": "true"}},
+        },
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "A"},
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+    }
+    cq = ComposedQuery.from_dict(wire)
+    r, got = ids(cores, cq)
+    assert r.total == 4
+    assert set(got) == {"A-M", "A-MU", "A-MQ", "A-MQU"}
+
+
+def test_composed_query_wire_unite_and_relational(cores):
+    """Unite + relationalFilterJson arrive on the wire exactly as the
+    reference emits them ('A'/'B' pair lists; a JSON *string*)."""
+    import json
+
+    rf = {
+        "type": "RelationalLuceneQuery",
+        "core": "coreB", "collectKeyName": "B", "filterKeyName": "B",
+        "query": {"type": "TermQuery", "term": {"field": "O", "value": "true"}},
+    }
+    wire = {
+        "resultsFrom": "coreA",
+        "_queries": {"coreA": {"type": "MatchAllDocsQuery"}},
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "A"},
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+        "_unites": [
+            {
+                "A": ["coreA", {"type": "TermQuery",
+                                 "term": {"field": "Q", "value": "true"}}],
+                "B": ["coreB", {"type": "TermQuery",
+                                 "term": {"field": "N", "value": "true"}}],
+            }
+        ],
+        "_relationalFilterJson": json.dumps(rf),
+    }
+    cq = ComposedQuery.from_dict(wire)
+    assert len(cq.unites) == 1 and cq.unites[0].query_a == Q.term("Q", "true")
+    assert cq.relational_filter == rf
+    # round-trip keeps the JSON-string form
+    assert json.loads(cq.to_dict()["_relationalFilterJson"]) == rf
+    r, got = ids(cores, cq)
+    # unite(coreA Q=true, coreB N=true) AND relational filter (O=true):
+    # keys {3,4,5,6,7,8} & {5,7,9,11} -> {5, 7} -> A-M, A-MQ
+    assert set(got) == {"A-M", "A-MQ"}
