@@ -766,8 +766,15 @@ class MultiLuceneSpark:
     def executeComposedQuery(self, query, export_key: str | None = None):
         """Single-core fast path when only the result core participates
         (multilucene.py:53-61 delegates likewise); otherwise the full
-        key-join algebra over every core's current snapshot."""
-        from meresco_lucene_spark.compose.composedquery import execute_composed
+        key-join algebra over every core's current snapshot. `query` may
+        be a ComposedQuery or the reference's asDict() wire dict."""
+        from meresco_lucene_spark.compose.composedquery import (
+            ComposedQuery,
+            execute_composed,
+        )
+
+        if isinstance(query, dict):
+            query = ComposedQuery.from_dict(query)
 
         readers = {}
         for name, c in self.cores.items():

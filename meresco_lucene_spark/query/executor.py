@@ -28,7 +28,7 @@ returns a lazy DataFrame and Catalyst does pushdown/broadcast/AQE.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, fields as dc_fields
 from typing import Any, Sequence
 
 from typing import TYPE_CHECKING
@@ -343,6 +343,61 @@ class LuceneResponse:
     drilldownData: list[dict] = dc_field(default_factory=list)
     keys: list | None = None  # exported key set (composed queries)
     suggestions: dict | None = None  # spellcheck per word (LuceneCore)
+
+    # ------------------------------------------------- JSON wire parity
+    # The reference serializes responses with a tagged-Hit JSON codec
+    # (luceneresponse.py:38-65: Hit becomes {"__class__": "Hit", ...};
+    # fromJson reverses it). Unset/empty members are omitted on the way
+    # out — the reference only carries keys that were set — and unknown
+    # keys coming IN (e.g. the Java side's queryTime/times) are kept as
+    # plain attributes, like the reference's kwargs-open classes.
+
+    def asJson(self, **dumps_kwargs) -> str:
+        import json
+
+        def strip(obj: dict) -> dict:
+            return {
+                k: v for k, v in obj.items()
+                if v is not None and v != {} and v != []
+            }
+
+        class _Enc(json.JSONEncoder):
+            def default(self, o):
+                if isinstance(o, Hit):
+                    return {"__class__": "Hit", **strip(vars(o))}
+                return json.JSONEncoder.default(self, o)
+
+        d = strip(vars(self))
+        d["total"] = self.total  # total is always present, even 0
+        d["hits"] = self.hits  # likewise (possibly empty) hits
+        return json.dumps(d, cls=_Enc, **dumps_kwargs)
+
+    @classmethod
+    def fromJson(cls, payload: str) -> "LuceneResponse":
+        import json
+
+        hit_names = {f.name for f in dc_fields(Hit)}
+
+        def hook(d: dict):
+            if d.pop("__class__", None) == "Hit":
+                known = {k: v for k, v in d.items() if k in hit_names}
+                h = Hit(**known)
+                for k, v in d.items():
+                    if k not in hit_names:
+                        setattr(h, k, v)
+                return h
+            return d
+
+        data = json.loads(payload, object_hook=hook)
+        self_names = {f.name for f in dc_fields(cls)}
+        known = {k: v for k, v in data.items() if k in self_names}
+        known.setdefault("total", 0)
+        known.setdefault("hits", [])
+        resp = cls(**known)
+        for k, v in data.items():
+            if k not in self_names:
+                setattr(resp, k, v)
+        return resp
 
 
 def _missing_value_order(col: Column, descending: bool, missing_value: Any) -> Column:

@@ -195,6 +195,18 @@ def test_multi_lucene_composed_query(spark, tmp_path):
     assert r.total == 3  # coreA docs whose K joins a flag=true coreB doc
     assert len(r.hits) == 3
 
+    # the same query POSTed as the reference's asDict() wire dict — the
+    # full client loop: wire dict in, JSON response out
+    # (composedquery.py:250-258 fromDict; luceneresponse.py:38-43 asJson)
+    r2 = multi.executeComposedQuery(cq.to_dict())
+    assert [h.id for h in r2.hits] == [h.id for h in r.hits]
+    from meresco_lucene_spark.query.executor import LuceneResponse
+
+    r3 = LuceneResponse.fromJson(r2.asJson())
+    assert r3.total == 3
+    assert [h.id for h in r3.hits] == [h.id for h in r2.hits]
+    assert all(isinstance(h.score, float) for h in r3.hits)
+
 
 def test_clustered_execute_query(spark, tmp_path):
     """executeQuery(clustering=True) returns the reference's ClusterHit

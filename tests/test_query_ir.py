@@ -150,3 +150,40 @@ def test_cql_unqualified_expansion():
     assert q.type == "BooleanQuery"
     assert q.clauses[0] == (SHOULD, Q.term("aField", "value"))
     assert q.clauses[1] == (SHOULD, Q.term("oField", "value", boost=2.0))
+
+
+def test_lucene_response_json_round_trip():
+    """LuceneResponse.asJson/fromJson with the reference's tagged-Hit
+    codec (luceneresponsetest.py:35-43 testJson; luceneresponse.py:
+    49-65: Hit serializes as {"__class__": "Hit", ...})."""
+    import json
+
+    from meresco_lucene_spark.query.executor import Hit, LuceneResponse
+
+    r = LuceneResponse(
+        total=3,
+        hits=[Hit(id="1", score=1.5), Hit(id="2", score=0.5,
+                                          fields={"title": "t"})],
+        drilldownData=[{"terms": [], "fieldname": "field"}],
+    )
+    payload = r.asJson(sort_keys=True)
+    raw = json.loads(payload)
+    assert raw["hits"][0]["__class__"] == "Hit"
+    r2 = LuceneResponse.fromJson(payload)
+    assert r2.total == 3
+    assert [h.id for h in r2.hits] == ["1", "2"]
+    assert r2.hits[1].fields == {"title": "t"}
+    assert r2.drilldownData == [{"terms": [], "fieldname": "field"}]
+
+    # unknown keys from a reference (Java) response survive as attributes
+    foreign = json.dumps({
+        "total": 1, "queryTime": 12,
+        "hits": [{"__class__": "Hit", "id": "x", "score": 0.1,
+                  "sortValues": ["a"]}],
+    })
+    r3 = LuceneResponse.fromJson(foreign)
+    assert r3.queryTime == 12 and r3.hits[0].sortValues == ["a"]
+
+    # empty members are omitted on the wire; total/hits always present
+    lean = json.loads(LuceneResponse(total=0, hits=[]).asJson())
+    assert lean == {"total": 0, "hits": []}
