@@ -306,13 +306,21 @@ class LuceneCore:
         return LuceneResponse(total=len(vals), hits=vals)
 
     def similarDocuments(
-        self, identifier: str, max_freq: float = 0.1
+        self,
+        identifier: str,
+        max_freq: float = 0.1,
+        start: int = 0,
+        stop: int = 10,
     ) -> LuceneResponse:
         """MLT by identifier (Lucene.java:818-846): rare-term overlap
         ranking via the shared operator; hits carry identifiers.
         max_freq is the reference's CommonTermsQuery maxFreq cutoff —
         note it admits NO terms on corpora smaller than ~1/max_freq
-        docs (df <= max_freq*N < 1), exactly as in the reference."""
+        docs (df <= max_freq*N < 1), exactly as in the reference.
+        Like the reference (which delegates to executeQuery and its
+        default page), hits are the [start, stop) page while total is
+        the full candidate count — the driver never materializes more
+        than one page."""
         reader = self._open()
         if reader is None:
             return LuceneResponse(total=0, hits=[])
@@ -329,17 +337,19 @@ class LuceneCore:
         if field is None:
             return LuceneResponse(total=0, hits=[])
         sim = similar_documents_df(reader, doc_id, field, max_freq=max_freq)
+        total = sim.count()  # candidate-bounded aggregate, no row movement
         rows = (
             sim.join(reader.forward.select("doc_id", ID_FIELD), "doc_id")
             .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
-            .collect()
+            .limit(max(stop, 0))  # TakeOrderedAndProject, never a full sort
+            .collect()[start:]
         )
         from meresco_lucene_spark.query.executor import Hit
 
         hits_out = [
             Hit(id=r[ID_FIELD], score=float(r["shared_terms"])) for r in rows
         ]
-        return LuceneResponse(total=len(hits_out), hits=hits_out)
+        return LuceneResponse(total=total, hits=hits_out)
 
     def numDocs(self) -> int:
         """LIVE doc count (the reference's IndexWriter.numDocs excludes

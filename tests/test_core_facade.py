@@ -127,6 +127,11 @@ def test_similar_documents_by_identifier(spark, tmp_path):
     r = c.similarDocuments("id:1")
     ids = [h.id for h in r.hits]
     assert "id:2" in ids and "id:1" not in ids
+    # page semantics (the reference delegates to executeQuery's default
+    # stop=10 page): total counts ALL candidates, hits carry the page
+    assert r.total == len(ids)
+    paged = c.similarDocuments("id:1", stop=1)
+    assert len(paged.hits) == 1 and paged.total == r.total
 
 
 def test_auto_commit_at_commit_count(spark, tmp_path):
