@@ -545,6 +545,16 @@ def execute_composed(
                 .distinct()
             )
             response.keys = sorted(r["key"] for r in keys.collect())
+    if cq.suggestion_request:
+        # the reference forwards _suggestionRequest into the result
+        # core's QueryData (ComposedQuery.java:107-108), so a composed
+        # response carries spellcheck suggestions computed there
+        # (Lucene.java:334-340)
+        from meresco_lucene_spark.suggest import spellcheck_suggest
+
+        response.suggestions = spellcheck_suggest(
+            result_idx, cq.suggestion_request
+        )
     return response
 
 

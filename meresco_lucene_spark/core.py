@@ -683,71 +683,12 @@ class LuceneCore:
         return self._open()
 
     def _suggest(self, reader, req: dict) -> dict[str, list[str]]:
-        """DirectSpellChecker analog (Lucene.java:804-816): for each
-        word, the top-``count`` terms of the field within levenshtein
-        distance 1..2, ordered (distance asc, docFreq desc, term asc).
-        ``mode`` (JsonQueryConverter.java:177-187 →
-        suggestModeFromString):
-          SUGGEST_WHEN_NOT_IN_INDEX (default) — words already in the
-            index get no suggestions (LuceneTest.java:608);
-          SUGGEST_MORE_POPULAR — only candidates whose docFreq exceeds
-            the word's own docFreq, in-index words included
-            (LuceneTest.java:609);
-          SUGGEST_ALWAYS — no frequency constraint.
-        ONE Spark job for the whole request: a broadcast words-literal
-        frame nested-loop-joined against term_stats_for(field) under the
-        levenshtein cutoff; each word's own docFreq is recovered in the
-        same pass as a distance-0 window max, and the per-word top-count
-        is a row_number window — no per-word driver loop."""
-        from pyspark.sql.window import Window
+        """Delegates to the shared DirectSpellChecker analog
+        (suggest.spellcheck_suggest — see its docstring for the three
+        modes and the one-job plan)."""
+        from meresco_lucene_spark.suggest import spellcheck_suggest
 
-        field = req["field"]
-        count = int(req.get("count", 10))
-        mode = req.get("mode") or "SUGGEST_WHEN_NOT_IN_INDEX"
-        words = [str(w) for w in req.get("suggests", [])]
-        out: dict[str, list[str]] = {w: [] for w in words}
-        if not words:
-            return out
-        wdf = self.spark.createDataFrame([(w,) for w in words], "word string")
-        # length-gap prefilter (|len| difference > 2 can't be within
-        # distance 2) keeps most of the dictionary out of the edit-
-        # distance loop; the thresholded levenshtein then early-exits
-        # per pair (returns -1 above the cutoff) instead of filling the
-        # full DP matrix — both stay inside whole-stage codegen.
-        j = (
-            F.broadcast(wdf)
-            .crossJoin(reader.term_stats_for(field))
-            .filter(
-                F.abs(F.length(F.col("word")) - F.length(F.col("term"))) <= 2
-            )
-            .withColumn("_d", F.levenshtein(F.col("word"), F.col("term"), 2))
-            .filter(F.col("_d") >= 0)
-            .withColumn(
-                "_word_df",
-                F.max(F.when(F.col("_d") == 0, F.col("df"))).over(
-                    Window.partitionBy("word")
-                ),
-            )
-            .filter(F.col("_d") >= 1)
-        )
-        if mode == "SUGGEST_WHEN_NOT_IN_INDEX":
-            j = j.filter(F.col("_word_df").isNull())
-        elif mode == "SUGGEST_MORE_POPULAR":
-            j = j.filter(F.col("df") > F.coalesce(F.col("_word_df"), F.lit(0)))
-        elif mode != "SUGGEST_ALWAYS":
-            raise ValueError(f"unknown suggest mode {mode!r}")
-        rank = Window.partitionBy("word").orderBy(
-            F.col("_d").asc(), F.col("df").desc(), F.col("term").asc()
-        )
-        rows = (
-            j.withColumn("_rn", F.row_number().over(rank))
-            .filter(F.col("_rn") <= count)
-            .select("word", "term", "_rn")
-            .collect()
-        )
-        for r in sorted(rows, key=lambda r: (r["word"], r["_rn"])):
-            out[r["word"]].append(r["term"])
-        return out
+        return spellcheck_suggest(reader, req)
 
 
 class MultiLuceneSpark:

@@ -295,3 +295,73 @@ def rank_suggestions(suggestions: DataFrame, value: str, top: int = 10) -> DataF
         ).alias("sortScore"),
     )
     return out.orderBy(F.col("sortScore").desc(), F.col("suggestion").asc()).limit(top)
+
+
+def spellcheck_suggest(reader, req: dict) -> dict[str, list[str]]:
+    """DirectSpellChecker analog (Lucene.java:804-816): for each word in
+    ``req["suggests"]``, the top-``count`` terms of ``req["field"]``
+    within levenshtein distance 1..2, ordered (distance asc, docFreq
+    desc, term asc). ``mode`` (JsonQueryConverter.java:177-187):
+
+      SUGGEST_WHEN_NOT_IN_INDEX (default) — words already in the index
+        get no suggestions (LuceneTest.java:608);
+      SUGGEST_MORE_POPULAR — only candidates whose docFreq exceeds the
+        word's own docFreq, in-index words included (LuceneTest.java:609);
+      SUGGEST_ALWAYS — no frequency constraint.
+
+    ONE Spark job for the whole request: a broadcast words-literal frame
+    nested-loop-joined against term_stats_for(field) under a length-gap
+    prefilter (|len| difference > 2 can't be within distance 2) and the
+    thresholded levenshtein (early-exits above the cutoff instead of
+    filling the full DP matrix — both whole-stage codegen); each word's
+    own docFreq is recovered in the same pass as a distance-0 window
+    max, and the per-word top-count is a row_number window — no per-word
+    driver loop. Shared by LuceneCore.executeQuery and the composed-
+    query executor (the reference forwards _suggestionRequest into the
+    result core's QueryData, ComposedQuery.java:107-108)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    field = req["field"]
+    count = int(req.get("count", 10))
+    mode = req.get("mode") or "SUGGEST_WHEN_NOT_IN_INDEX"
+    words = [str(w) for w in req.get("suggests", [])]
+    out: dict[str, list[str]] = {w: [] for w in words}
+    if not words:
+        return out
+    tstats = reader.term_stats_for(field)
+    wdf = tstats.sparkSession.createDataFrame(
+        [(w,) for w in words], "word string"
+    )
+    j = (
+        F.broadcast(wdf)
+        .crossJoin(tstats)
+        .filter(F.abs(F.length(F.col("word")) - F.length(F.col("term"))) <= 2)
+        .withColumn("_d", F.levenshtein(F.col("word"), F.col("term"), 2))
+        .filter(F.col("_d") >= 0)
+        .withColumn(
+            "_word_df",
+            F.max(F.when(F.col("_d") == 0, F.col("df"))).over(
+                Window.partitionBy("word")
+            ),
+        )
+        .filter(F.col("_d") >= 1)
+    )
+    if mode == "SUGGEST_WHEN_NOT_IN_INDEX":
+        j = j.filter(F.col("_word_df").isNull())
+    elif mode == "SUGGEST_MORE_POPULAR":
+        j = j.filter(F.col("df") > F.coalesce(F.col("_word_df"), F.lit(0)))
+    elif mode != "SUGGEST_ALWAYS":
+        raise ValueError(f"unknown suggest mode {mode!r}")
+    rank = Window.partitionBy("word").orderBy(
+        F.col("_d").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    rows = (
+        j.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") <= count)
+        .select("word", "term", "_rn")
+        .collect()
+    )
+    for r in sorted(rows, key=lambda r: (r["word"], r["_rn"])):
+        out[r["word"]].append(r["term"])
+    return out

@@ -647,3 +647,20 @@ def test_composed_query_wire_unite_and_relational(cores):
     # unite(coreA Q=true, coreB N=true) AND relational filter (O=true):
     # keys {3,4,5,6,7,8} & {5,7,9,11} -> {5, 7} -> A-M, A-MQ
     assert set(got) == {"A-M", "A-MQ"}
+
+
+def test_composed_query_suggestion_request(cores):
+    """The reference forwards _suggestionRequest into the result core's
+    QueryData (ComposedQuery.java:107-108), so a composed response
+    carries spellcheck suggestions computed on the result core
+    (Lucene.java:334-340)."""
+    cq = ComposedQuery("coreA", queries={"coreA": Q.term("Q", "true")})
+    cq.suggestion_request = dict(suggests=["treu"], count=2, field="M")
+    r, got = ids(cores, cq)
+    assert r.total == 4
+    assert r.suggestions == {"treu": ["true"]}
+    # and via the wire dict (asDict key _suggestionRequest)
+    cq2 = ComposedQuery.from_dict(cq.to_dict())
+    assert cq2.suggestion_request == cq.suggestion_request
+    r2 = execute_composed(cores, cq2)
+    assert r2.suggestions == {"treu": ["true"]}
