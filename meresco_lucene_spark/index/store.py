@@ -202,19 +202,6 @@ def build_index_store(
         # the existing parquet.
         from pyspark.sql import Observation
 
-        flat_obs = fwd_obs = None
-        if not _stage_done(flat_dir):
-            flat_obs = Observation()
-            occurrences_lazy.observe(
-                flat_obs, F.count(F.lit(1)).alias("n")
-            ).write.mode("overwrite").parquet(flat_dir)
-        flat_postings = spark.read.parquet(flat_dir)
-
-        if not _stage_done(os.path.join(out_dir, "forward")):
-            fwd_obs = Observation()
-            forward.observe(fwd_obs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "forward"))
         # field lengths: second codegen tokenize pass, shuffle-free —
         # cheaper than joining against the postings shuffle. When the
         # field list is known (tokenize path), the per-field corpus
@@ -235,7 +222,24 @@ def build_index_store(
             if occurrences is None
             else None
         )
-        len_obs = None
+        flat_obs = fwd_obs = len_obs = None
+        stage_writes = []
+        if not _stage_done(flat_dir):
+            flat_obs = Observation()
+            flat_write = occurrences_lazy.observe(
+                flat_obs, F.count(F.lit(1)).alias("n")
+            )
+            stage_writes.append(
+                lambda: flat_write.write.mode("overwrite").parquet(flat_dir)
+            )
+        if not _stage_done(os.path.join(out_dir, "forward")):
+            fwd_obs = Observation()
+            fwd_write = forward.observe(fwd_obs, F.count(F.lit(1)).alias("n"))
+            stage_writes.append(
+                lambda: fwd_write.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "forward")
+                )
+            )
         if not _stage_done(os.path.join(out_dir, "field_lengths")):
             lengths_write = lengths_lazy
             if known_fields:
@@ -252,9 +256,28 @@ def build_index_store(
                         )
                     )
                 lengths_write = lengths_write.observe(len_obs, *aggs)
-            lengths_write.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "field_lengths")
+            stage_writes.append(
+                lambda: lengths_write.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "field_lengths")
+                )
             )
+        # The three stage-1 tables are independent projections of the
+        # input batch, so their write JOBS are submitted concurrently
+        # (Spark's scheduler interleaves them across the executor pool).
+        # Same total work, but the per-commit refresh latency stops
+        # being the SUM of three job round-trips — on a small
+        # incremental commit the fixed overhead dominates, and at
+        # cluster scale concurrent jobs keep the executors busy while
+        # each job's stragglers drain.
+        if len(stage_writes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(stage_writes)) as pool:
+                for fut in [pool.submit(w) for w in stage_writes]:
+                    fut.result()  # re-raises the first stage failure
+        elif stage_writes:
+            stage_writes[0]()
+        flat_postings = spark.read.parquet(flat_dir)
         n_docs = (
             int(fwd_obs.get["n"])
             if fwd_obs is not None
