@@ -12,7 +12,7 @@ Layout under ``out_dir``:
   postings/    partitioned by shard:
                (term, block_id, doc_count, min_doc, max_doc,
                 block_max_score, doc_bytes, tf_bytes, dl_bytes)
-  lineage/     (shard, n_terms, n_blocks, n_postings, bytes,
+  lineage/     (shard, n_terms, term_min, term_max, n_blocks, n_postings, bytes,
                 content_xxh64_sum, run_id)
   meta.json    {n_docs, sum_dl, avgdl, n_shards, salt_buckets, k1, b,
                 block_size, hot_df_fraction, quantized}
@@ -526,6 +526,10 @@ def build_segments(
             .groupBy("shard")
             .agg(
                 F.countDistinct("term").cast("long").alias("n_terms"),
+                # term range of the shard (salted shards interleave hash
+                # ranges, so this is a descriptive span, not a sort key)
+                F.min("term").alias("term_min"),
+                F.max("term").alias("term_max"),
                 F.count("*").cast("long").alias("n_blocks"),
                 F.sum("doc_count").cast("long").alias("n_postings"),
                 (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))

@@ -549,6 +549,10 @@ def build_index_store(
                 .groupBy("shard")
                 .agg(
                     F.countDistinct("field", "term").cast("long").alias("n_terms"),
+                    # term range of the shard (descriptive span — salted
+                    # shards interleave hash ranges)
+                    F.min("term").alias("term_min"),
+                    F.max("term").alias("term_max"),
                     F.count("*").cast("long").alias("n_blocks"),
                     F.sum("doc_count").cast("long").alias("n_postings"),
                     (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))

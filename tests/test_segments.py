@@ -306,3 +306,22 @@ def test_multi_topk_fallback_above_broadcast_cap(spark, seg, op, monkeypatch):
     fn = seg.or_topk if op == "or" else seg.and_topk
     got = [(r.doc_id, round(r.score, 9)) for r in fn(terms, 10).collect()]
     assert got == exhaustive_multi_topk(spark, seg, terms, op)
+
+
+def test_lineage_term_range(spark, seg):
+    """Lineage rows carry the shard's term range alongside counts/bytes/
+    content hash (the north rule's per-partition lineage shape)."""
+    import os
+
+    lin = spark.read.parquet(os.path.join(seg.out_dir, "lineage"))
+    rows = {r["shard"]: r for r in lin.collect()}
+    post = spark.read.parquet(os.path.join(seg.out_dir, "postings"))
+    bounds = {
+        r["shard"]: (r["lo"], r["hi"])
+        for r in post.groupBy("shard")
+        .agg(F.min("term").alias("lo"), F.max("term").alias("hi"))
+        .collect()
+    }
+    for shard, (lo, hi) in bounds.items():
+        assert rows[shard]["term_min"] == lo
+        assert rows[shard]["term_max"] == hi
