@@ -40,7 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -153,6 +153,7 @@ def occurrence_frames(
     keyword_cols: list[str] | None = None,
     array_cols: list[str] | None = None,
     dutch_cols: list[str] | None = None,
+    inline_dl: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """LAZY (occurrences, field_lengths) frames — the store build's
     front half. Unlike :func:`posting_frames`, occurrences stay one row
@@ -161,12 +162,25 @@ def occurrence_frames(
     plain shuffle. This avoids the collect_list ObjectHashAggregate
     (whose sort-fallback/spill was the store build's highest-variance
     stage); tf and position lists are derived vectorized inside the
-    whole-shard numpy encode, which sorts everything anyway."""
+    whole-shard numpy encode, which sorts everything anyway.
+
+    ``inline_dl`` ("dl" or "norm_dl"): additionally carry the document
+    length as a ``_dl`` column on every occurrence row, computed from
+    the SAME token array the occurrences come from. The shard encode
+    then needs no (field, doc_id) join against the lengths table at all
+    — one whole shuffle join removed from the build (guide §2.4); the
+    extra column is a run-length-friendly int that parquet compresses
+    to almost nothing."""
     text_cols = list(text_cols or [])
     keyword_cols = list(keyword_cols or [])
     array_cols = list(array_cols or [])
     dutch_cols = list(dutch_cols or [])
     doc = F.col(id_col).alias("doc_id")
+
+    def _dl_of(raw: Column) -> Column:
+        return (
+            quantize_dl_expr(raw) if inline_dl == "norm_dl" else raw
+        ).cast("long").alias("_dl")
 
     occ_parts: list[DataFrame] = []
     length_parts: list[DataFrame] = []
@@ -185,15 +199,22 @@ def occurrence_frames(
         else:
             tok_expr = tokenize_expr(qcol(col))
         toks = df.select(doc, tok_expr.alias("tokens"))
+        occ_cols = [
+            F.lit(col).alias("field"), "term", "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+        ]
+        if inline_dl:
+            occ_cols.append(
+                _dl_of(F.coalesce(F.size("tokens"), F.lit(0)))
+            )
         occ_parts.append(
             toks.select(
-                "doc_id", F.posexplode_outer("tokens").alias("pos", "term")
+                "doc_id",
+                F.col("tokens"),
+                F.posexplode_outer("tokens").alias("pos", "term"),
             )
             .filter(F.col("term").isNotNull())
-            .select(
-                F.lit(col).alias("field"), "term", "doc_id",
-                F.col("pos").cast("int").alias("pos"),
-            )
+            .select(*occ_cols)
         )
         length_parts.append(
             toks.select(
@@ -203,14 +224,15 @@ def occurrence_frames(
             )
         )
     for col in keyword_cols:
-        occ_parts.append(
-            df.filter(qcol(col).isNotNull()).select(
-                F.lit(col).alias("field"),
-                qcol(col).cast("string").alias("term"),
-                doc,
-                F.lit(0).cast("int").alias("pos"),
-            )
-        )
+        kw_cols = [
+            F.lit(col).alias("field"),
+            qcol(col).cast("string").alias("term"),
+            doc,
+            F.lit(0).cast("int").alias("pos"),
+        ]
+        if inline_dl:
+            kw_cols.append(_dl_of(F.lit(1)))
+        occ_parts.append(df.filter(qcol(col).isNotNull()).select(*kw_cols))
         length_parts.append(
             df.filter(qcol(col).isNotNull()).select(
                 F.lit(col).alias("field"), doc, F.lit(1).cast("long").alias("dl")
@@ -324,7 +346,6 @@ class InvertedIndex:
             field_lengths = field_lengths.persist()
             term_stats = term_stats.persist()
 
-        n_docs = df.count()
         stats: dict[str, FieldStats] = {}
         stat_rows = (
             field_lengths.groupBy("field")
@@ -336,6 +357,19 @@ class InvertedIndex:
             stats[r["field"]] = FieldStats(
                 n_docs=r["nd"], sum_dl=int(r["sdl"]), omit_norms=r["field"] in omit
             )
+        # n_docs without a separate count job: an analyzed (text/array/
+        # dutch) field emits exactly one lengths row per input row
+        # (posexplode_outer keeps null/empty docs), so its nd IS the doc
+        # count; keyword-only specs fall back to counting (keyword
+        # lengths are null-filtered).
+        full_fields = [
+            c for c in (
+                list(text_cols or []) + list(array_cols or [])
+                + list(dutch_cols or [])
+            )
+            if c in stats
+        ]
+        n_docs = stats[full_fields[0]].n_docs if full_fields else df.count()
 
         return InvertedIndex(
             spark=spark,

@@ -155,6 +155,7 @@ class IncrementalIndexStore:
         delete_ids: list[int] | None = None,
         id_col: str = "doc_id",
         meta: dict | None = None,
+        delete_frame: DataFrame | None = None,
     ) -> int:
         """One commit: the batch's docs become searchable, any OLDER
         version of their ids (plus delete_ids) stops matching. Atomic:
@@ -167,31 +168,64 @@ class IncrementalIndexStore:
 
         ``meta``: small JSON dict recorded durably INSIDE this commit
         (written before the _COMMITTED marker) — used by the streaming
-        ingest to make epoch replay-detection atomic with the commit."""
+        ingest to make epoch replay-detection atomic with the commit.
+
+        ``delete_frame``: ids to delete as a one-column DataFrame — the
+        frame-path twin of ``delete_ids`` for callers whose delete set
+        comes from a distributed computation (streaming CDC): the ids
+        flow straight into the tombstone parquet write, never through
+        the driver (a CDC batch deleting millions of rows must not
+        materialize them driver-side)."""
         self._clean_crashed()
         gen = self._next_gen()
         gen_dir = os.path.join(self.root, _gen_name(gen))
         os.makedirs(gen_dir)
         tomb_ids = None
         if df is not None:
-            # lineage=False: generation stores are wiped on crash, never
-            # shard-resumed, so the lineage pass is pure fixed overhead
-            # on the per-commit refresh cost
-            build_index_store(
-                df, os.path.join(gen_dir, "store"), id_col=id_col,
-                lineage=False, **self.build_kwargs,
-            )
             tomb_ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
         if delete_ids:
             extra = self.spark.createDataFrame(
                 [(int(i),) for i in delete_ids], "doc_id long"
             )
             tomb_ids = extra if tomb_ids is None else tomb_ids.unionByName(extra)
-        if tomb_ids is not None and self._gens():
-            # no older generation -> nothing a tombstone could mask
-            tomb_ids.distinct().write.mode("overwrite").parquet(
-                os.path.join(gen_dir, "tombstones")
+        if delete_frame is not None:
+            dfr = delete_frame.select(
+                F.col(delete_frame.columns[0]).cast("long").alias("doc_id")
             )
+            tomb_ids = dfr if tomb_ids is None else tomb_ids.unionByName(dfr)
+        # tombstones only matter when an older generation exists
+        if not self._gens():
+            tomb_ids = None
+        # The tombstone write and the generation-store build are
+        # independent jobs over the same batch — submit the tombstone
+        # write on a thread so it back-fills executors while the store
+        # build's stages drain (guide §2.6); on a small refresh commit
+        # this removes one whole sequential job round-trip. Ordering
+        # stays safe: both exist before the _COMMITTED marker lands.
+        tomb_writer = None
+        if tomb_ids is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            tomb_frame = tomb_ids.distinct()
+            pool = ThreadPoolExecutor(max_workers=1)
+            tomb_writer = pool.submit(
+                lambda: tomb_frame.write.mode("overwrite").parquet(
+                    os.path.join(gen_dir, "tombstones")
+                )
+            )
+        try:
+            if df is not None:
+                # lineage=False: generation stores are wiped on crash,
+                # never shard-resumed, so the lineage pass is pure fixed
+                # overhead on the per-commit refresh cost
+                build_index_store(
+                    df, os.path.join(gen_dir, "store"), id_col=id_col,
+                    lineage=False, **self.build_kwargs,
+                )
+        finally:
+            if tomb_writer is not None:
+                tomb_writer.result()  # re-raise a failed tombstone write
+                pool.shutdown(wait=True)
         if meta:
             _write_meta(gen_dir, meta)
         COMMITTER.publish_file(_commit_marker(gen_dir), "ok")
@@ -590,8 +624,14 @@ class MultiGenIndex:
             return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
         return FieldStats(n_docs=n, sum_dl=sdl, omit_norms=omit)
 
-    def postings_for(self, fld: str) -> DataFrame:
-        return self._live(self._union(lambda s: s.postings_for(fld)))
+    # generation stores are PersistentIndex — the per-posting dl stream
+    # capability (postings_for(with_dl=True) -> _bdl) unions through
+    inline_dl = True
+
+    def postings_for(self, fld: str, with_dl: bool = False) -> DataFrame:
+        return self._live(
+            self._union(lambda s: s.postings_for(fld, with_dl=with_dl))
+        )
 
     def lengths_for(self, fld: str) -> DataFrame:
         # MUST be liveness-filtered: the executor joins postings to
@@ -663,14 +703,17 @@ class MultiGenIndex:
 
     # ------------------------------------------------------- merge feeds
     def live_occurrences(self) -> DataFrame:
-        """(field, term, doc_id, pos) of every LIVE posting — decoded
-        from blocks, never re-tokenized. Feed for force_merge."""
+        """(field, term, doc_id, pos, _dl) of every LIVE posting —
+        decoded from blocks, never re-tokenized. Feed for force_merge.
+        The per-posting dl stream rides along (_dl), so the re-encode
+        needs no lengths join either."""
         def occ(s: PersistentIndex) -> DataFrame:
             parts = [
-                s.postings_for(f).select(
+                s.postings_for(f, with_dl=True).select(
                     "field",
                     "term",
                     "doc_id",
+                    F.col("_bdl").alias("_dl"),
                     F.explode("positions").alias("pos"),
                 )
                 for f in s.fieldnames()

@@ -317,13 +317,18 @@ def build_segments(
 
     doc = F.col(id_col).alias("doc_id")
     toks = corpus.select(doc, tokenize_expr(F.col(text_col)).alias("tokens"))
+    dl_raw = F.coalesce(F.size("tokens"), F.lit(0))
+    dl_carry = (quantize_dl_expr(dl_raw) if quantized else dl_raw).cast("long")
 
-    # flat (term, doc_id, tf) — the ONE tokenize pass + one shuffle with
-    # map-side partial agg; every later stage (doc lengths, term stats,
-    # shard encode) derives from this persisted frame.
+    # flat (term, doc_id, _dl, tf) — the ONE tokenize pass + one shuffle
+    # with map-side partial agg; every later stage (term stats, shard
+    # encode) derives from this persisted frame. The doc length rides
+    # each row (_dl in the grouping key — same cardinality, dl is a
+    # function of doc_id), so the encode stage needs NO join against the
+    # docs table at all (guide §2.4: remove shuffles outright).
     postings_flat = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
+        toks.select("doc_id", dl_carry.alias("_dl"), F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "_dl")
         .agg(F.count("*").cast("long").alias("tf"))
         .persist()
     )
@@ -331,23 +336,38 @@ def build_segments(
     # ---- stage 1: docs (lengths + norms) --------------------------------
     # dl straight from the token arrays: a second codegen'd tokenize pass
     # is far cheaper than joining against the postings shuffle (and keeps
-    # stage 1 embarrassingly parallel — no shuffle at all).
+    # stage 1 embarrassingly parallel — no shuffle at all). The corpus
+    # stats (n, sum_dl, min_dl) ride the write as Observations — no
+    # separate read-back aggregation job (guide §1/§5: don't recompute
+    # what a write can observe in passing).
+    n_docs = sum_dl = min_dl = None
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
-        lengths = toks.select(
-            "doc_id", F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("dl")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        lengths = toks.select("doc_id", dl_raw.cast("long").alias("dl"))
+        (
+            lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl")))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+                F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
+            )
+            .write.mode("overwrite")
+            .parquet(docs_dir)
         )
-        lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl"))).write.mode(
-            "overwrite"
-        ).parquet(docs_dir)
+        vals = obs.get
+        n_docs, sum_dl, min_dl = int(vals["n"]), int(vals["s"]), int(vals["m"])
     _mark("stage1-docs")
 
-    docs_df = spark.read.parquet(docs_dir)
-    agg = docs_df.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-        F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
-    ).collect()[0]
-    n_docs, sum_dl, min_dl = int(agg["n"]), int(agg["s"]), int(agg["m"])
+    if n_docs is None:  # resumed build: stats from the existing table
+        agg = spark.read.parquet(docs_dir).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
+        ).collect()[0]
+        n_docs, sum_dl, min_dl = int(agg["n"]), int(agg["s"]), int(agg["m"])
     avgdl = sum_dl / n_docs if n_docs else 1.0
 
     # Auto-shard from the occurrence count (sum of doc lengths), floored
@@ -360,7 +380,14 @@ def build_segments(
     )
 
     # ---- stage 2: term stats + salting decision -------------------------
-    if not (resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS"))):
+    # The stats frame is computed ONCE into a spill-backed cache; the
+    # term_stats table write then runs CONCURRENTLY with stage 3 (the
+    # encode joins the same cache), so the write is no longer a
+    # sequential barrier (guide §2.6 overlap of independent jobs).
+    tstats_writer = tstats_cached = tstats_pool = None
+    if resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
+        tstats_df = spark.read.parquet(stats_dir)
+    else:
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
         tstats = postings_flat.groupBy("term").agg(
             F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
@@ -371,7 +398,7 @@ def build_segments(
         )
         # Upper bound of the score over all docs: tf/(tf+K) is increasing in
         # tf and decreasing in dl; bound with tf<=cf and the corpus-min dl.
-        (
+        tstats = (
             tstats.withColumn(
                 "max_score",
                 idf_c
@@ -390,12 +417,19 @@ def build_segments(
                 .otherwise(F.lit(1))
                 .cast("int"),
             )
-            .write.mode("overwrite")
-            .parquet(stats_dir)
         )
-    _mark("stage2-term-stats")
+        from concurrent.futures import ThreadPoolExecutor
 
-    tstats_df = spark.read.parquet(stats_dir)
+        from pyspark import StorageLevel
+
+        tstats_cached = tstats.persist(StorageLevel.MEMORY_AND_DISK)
+        tstats_cached.count()  # one materialization before both consumers
+        tstats_pool = ThreadPoolExecutor(max_workers=1)
+        tstats_writer = tstats_pool.submit(
+            lambda: tstats_cached.write.mode("overwrite").parquet(stats_dir)
+        )
+        tstats_df = tstats_cached
+    _mark("stage2-term-stats")
 
     # ---- stage 3: sharded compressed postings + lineage -----------------
     done_shards: set[int] = set()
@@ -427,9 +461,7 @@ def build_segments(
             ).cast("int"),
         )
         flat = flat.filter(F.col("shard").isin(remaining))
-        # carry dl for block-max score computation
-        dl_col = "norm_dl" if quantized else "dl"
-        flat = flat.join(docs_df.select("doc_id", F.col(dl_col).alias("_dl")), "doc_id")
+        # dl already rides each postings_flat row (_dl) — no docs join
 
         def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # Fully vectorized: with millions of unique rare terms a
@@ -501,8 +533,25 @@ def build_segments(
             )
 
         # groupBy(shard).applyInPandas shuffles by shard itself — one
-        # shuffle, each task encodes exactly one shard's postings.
+        # shuffle, each task encodes exactly one shard's postings. The
+        # per-block lineage helpers (_h hash, _nbytes) are computed once
+        # at write time so the lineage pass reads back only small
+        # columns — the posting payload bytes are column-pruned out of
+        # that scan entirely (guide §6).
         encoded = flat.groupBy("shard").applyInPandas(_encode, schema=POSTINGS_SCHEMA)
+        encoded = encoded.withColumn(
+            "_h",
+            F.xxhash64(
+                F.col("term"),
+                F.col("block_id"),
+                F.col("doc_bytes"),
+                F.col("tf_bytes"),
+                F.col("dl_bytes"),
+            ),
+        ).withColumn(
+            "_nbytes",
+            (F.length("doc_bytes") + F.length("tf_bytes")).cast("long"),
+        )
         encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
         _mark("stage3-encode-write")
 
@@ -511,18 +560,11 @@ def build_segments(
         # (cheap at any scale — no collect_list/concat of millions of
         # block hashes; a SUM, unlike XOR, does not cancel duplicated
         # or dropped-in-pairs blocks)
-        written = spark.read.parquet(post_dir).filter(F.col("shard").isin(remaining))
+        written = spark.read.parquet(post_dir).filter(
+            F.col("shard").isin(remaining)
+        ).select("shard", "term", "doc_count", "_h", "_nbytes")
         lineage = (
-            written.withColumn(
-                "_h",
-                F.xxhash64(
-                    F.col("term"),
-                    F.col("block_id"),
-                    F.col("doc_bytes"),
-                    F.col("tf_bytes"),
-                    F.col("dl_bytes"),
-                ),
-            )
+            written
             .groupBy("shard")
             .agg(
                 F.countDistinct("term").cast("long").alias("n_terms"),
@@ -532,9 +574,7 @@ def build_segments(
                 F.max("term").alias("term_max"),
                 F.count("*").cast("long").alias("n_blocks"),
                 F.sum("doc_count").cast("long").alias("n_postings"),
-                (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
-                .cast("long")
-                .alias("bytes"),
+                F.sum("_nbytes").cast("long").alias("bytes"),
                 F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(2147483647))), F.lit(2147483647))
                 .cast("string")
                 .alias("content_xxh64_sum"),
@@ -544,6 +584,12 @@ def build_segments(
         lineage.write.mode("append").parquet(lin_dir)
         _mark("stage4-lineage")
 
+    if tstats_writer is not None:
+        tstats_writer.result()  # re-raise a failed term_stats write
+    if tstats_pool is not None:
+        tstats_pool.shutdown(wait=True)
+    if tstats_cached is not None:
+        tstats_cached.unpersist()
     postings_flat.unpersist()
     meta = {
         "n_docs": n_docs,

@@ -170,7 +170,11 @@ def build_index_store(
     os.makedirs(out_dir, exist_ok=True)
     if occurrences is not None and lengths is not None:
         occurrences_lazy, lengths_lazy = occurrences, lengths
+        have_inline_dl = "_dl" in occurrences.columns
     else:
+        # carry the document length ON the occurrence rows (the same
+        # token arrays produce both), so the encode stage needs no
+        # (field, doc_id) shuffle join against the lengths table
         occurrences_lazy, lengths_lazy = occurrence_frames(
             df,
             id_col=id_col,
@@ -178,7 +182,9 @@ def build_index_store(
             keyword_cols=keyword_cols,
             array_cols=array_cols,
             dutch_cols=dutch_cols,
+            inline_dl="norm_dl" if quantized else "dl",
         )
+        have_inline_dl = True
     forward = df.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else df
     flat_dir = os.path.join(out_dir, "_flat_postings")
     post_dir = os.path.join(out_dir, "postings")
@@ -188,6 +194,7 @@ def build_index_store(
         return resume and os.path.exists(os.path.join(d, "_SUCCESS"))
 
     ok = False
+    tstats_writer = tstats_cached = tstats_pool = None
     try:
         # ONE tokenize+explode pass lands raw OCCURRENCE rows (field, term,
         # doc_id, pos) on disk — no aggregation at all between tokenize and
@@ -303,11 +310,20 @@ def build_index_store(
             ),
         )
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
+        # two-phase df/cf: aggregate to (field, term, doc_id) first — a
+        # doc's occurrences all sit in one input partition, so the map-
+        # side partial agg collapses the shuffle to postings size — then
+        # to (field, term). Strictly fewer shuffled bytes than the
+        # countDistinct expand, which ships 2x the occurrence rows
+        # (guide §2.3 "aggregate before you shuffle").
+        per_doc = flat_postings.groupBy("field", "term", "doc_id").agg(
+            F.count("*").cast("long").alias("_tf")
+        )
         tstats = (
-            flat_postings.groupBy("field", "term")
+            per_doc.groupBy("field", "term")
             .agg(
-                F.countDistinct("doc_id").cast("long").alias("df"),
-                F.count("*").cast("long").alias("cf"),
+                F.count("*").cast("long").alias("df"),
+                F.sum("_tf").cast("long").alias("cf"),
             )
             .withColumn(
                 "base_shard",
@@ -322,31 +338,50 @@ def build_index_store(
                 .cast("int"),
             )
         )
-        if not _stage_done(os.path.join(out_dir, "term_stats")):
-            tstats.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "term_stats")
-            )
-        tstats_df = spark.read.parquet(os.path.join(out_dir, "term_stats"))
-        lengths_df = spark.read.parquet(os.path.join(out_dir, "field_lengths"))
+        # The encode join consumes tstats from a spill-backed cache while
+        # the term_stats table write runs CONCURRENTLY from the same
+        # cache — one computation, and the write is no longer a
+        # sequential barrier between stage 1 and the encode (guide §2.6
+        # overlap of independent jobs). On resume the written table is
+        # the source of truth instead.
+        from pyspark import StorageLevel
 
-        dl_col = "norm_dl" if quantized else "dl"
-        flat = (
-            flat_postings.join(
-                tstats_df.select("field", "term", "df", "base_shard", "n_salts"),
-                ["field", "term"],
+        if _stage_done(os.path.join(out_dir, "term_stats")):
+            tstats_src = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        else:
+            tstats_cached = tstats.persist(StorageLevel.MEMORY_AND_DISK)
+            tstats_cached.count()  # materialize once before both consumers
+            from concurrent.futures import ThreadPoolExecutor
+
+            tstats_pool = ThreadPoolExecutor(max_workers=1)
+            tstats_writer = tstats_pool.submit(
+                lambda: tstats_cached.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "term_stats")
+                )
             )
-            .withColumn(
-                "shard",
-                (
-                    (F.col("base_shard") + F.pmod(F.col("doc_id"), F.col("n_salts")))
-                    % n_shards
-                ).cast("int"),
+            tstats_src = tstats_cached
+
+        flat = flat_postings.join(
+            tstats_src.select("field", "term", "df", "base_shard", "n_salts"),
+            ["field", "term"],
+        ).withColumn(
+            "shard",
+            (
+                (F.col("base_shard") + F.pmod(F.col("doc_id"), F.col("n_salts")))
+                % n_shards
+            ).cast("int"),
+        )
+        if not have_inline_dl:
+            # precomputed-occurrence feeds (merge path) have no _dl on
+            # the rows; attach it from the lengths table as before
+            dl_col = "norm_dl" if quantized else "dl"
+            lengths_df = spark.read.parquet(
+                os.path.join(out_dir, "field_lengths")
             )
-            .join(
+            flat = flat.join(
                 lengths_df.select("field", "doc_id", F.col(dl_col).alias("_dl")),
                 ["field", "doc_id"],
             )
-        )
 
         # ---- shard-level resume (lineage contract of segments.py) ----
         done_shards: set[int] = set()
@@ -385,7 +420,8 @@ def build_index_store(
             stat_rows = [r for r in stat_rows if r["nd"] > 0]
         else:
             stat_rows = (
-                lengths_df.groupBy("field")
+                spark.read.parquet(os.path.join(out_dir, "field_lengths"))
+                .groupBy("field")
                 .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
                 .collect()
             )
@@ -525,16 +561,14 @@ def build_index_store(
             encoded = flat.groupBy("shard").applyInPandas(
                 _encode, schema=STORE_POSTINGS_SCHEMA
             )
-            encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
-        if remaining and lineage:
-            # lineage: one row per completed shard; content hash is an
-            # order-independent modular SUM of per-block xxhash64 (a
-            # SUM, unlike XOR, does not cancel duplicated blocks)
-            written = spark.read.parquet(post_dir).filter(
-                F.col("shard").isin(remaining)
-            )
-            lineage_df = (
-                written.withColumn(
+            if lineage:
+                # per-block lineage helpers computed ONCE at write time
+                # (JVM expressions over the encode output): the lineage
+                # pass then reads back only small int/string columns —
+                # parquet column pruning skips the posting payload bytes
+                # entirely instead of re-reading + re-hashing every
+                # encoded stream (guide §6 column pruning)
+                encoded = encoded.withColumn(
                     "_h",
                     F.xxhash64(
                         F.col("field"),
@@ -545,7 +579,20 @@ def build_index_store(
                         F.col("dl_bytes"),
                         F.col("pos_bytes"),
                     ),
+                ).withColumn(
+                    "_nbytes",
+                    (F.length("doc_bytes") + F.length("tf_bytes")).cast("long"),
                 )
+            encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
+        if remaining and lineage:
+            # lineage: one row per completed shard; content hash is an
+            # order-independent modular SUM of per-block xxhash64 (a
+            # SUM, unlike XOR, does not cancel duplicated blocks)
+            written = spark.read.parquet(post_dir).filter(
+                F.col("shard").isin(remaining)
+            ).select("shard", "field", "term", "doc_count", "_h", "_nbytes")
+            lineage_df = (
+                written
                 .groupBy("shard")
                 .agg(
                     F.countDistinct("field", "term").cast("long").alias("n_terms"),
@@ -555,9 +602,7 @@ def build_index_store(
                     F.max("term").alias("term_max"),
                     F.count("*").cast("long").alias("n_blocks"),
                     F.sum("doc_count").cast("long").alias("n_postings"),
-                    (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes")))
-                    .cast("long")
-                    .alias("bytes"),
+                    F.sum("_nbytes").cast("long").alias("bytes"),
                     F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(2147483647))), F.lit(2147483647))
                 .cast("string")
                 .alias("content_xxh64_sum"),
@@ -580,10 +625,16 @@ def build_index_store(
             "block_size": block_size,
             "hot_df_fraction": hot_df_fraction,
         }
+        if tstats_writer is not None:
+            tstats_writer.result()  # re-raise a failed term_stats write
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
         ok = True
     finally:
+        if tstats_pool is not None:
+            tstats_pool.shutdown(wait=True)
+        if tstats_cached is not None:
+            tstats_cached.unpersist()
         # keep the intermediate on failure so a resume can reuse it
         if ok:
             shutil.rmtree(flat_dir, ignore_errors=True)
@@ -631,12 +682,80 @@ class PersistentIndex:
             return FieldStats(n_docs=self.n_docs, sum_dl=self.n_docs or 1)
         return self.stats[fld]
 
-    def postings_for(self, fld: str) -> DataFrame:
-        """Lazily-decoded (field, term, doc_id, tf, positions) frame.
+    # capability flag: the posting blocks carry the per-posting document
+    # length stream, so scoring can skip the field_lengths join entirely
+    # (postings_for(with_dl=True) exposes it as _bdl)
+    inline_dl = True
+
+    def postings_for(self, fld: str, with_dl: bool = False) -> DataFrame:
+        """Lazily-decoded (field, term, doc_id, tf, positions[, _bdl])
+        frame.
 
         Decode is a projection + JVM explode: term/field filters applied
         by callers push below it into the parquet scan (PushedFilters),
-        so only the filtered terms' blocks are ever decoded."""
+        so only the filtered terms' blocks are ever decoded.
+
+        ``with_dl=True`` additionally decodes the blocks' dl stream into
+        a ``_bdl`` column (the document length AS BUILT — norm_dl when the
+        store was built quantized, raw dl otherwise): scoring reads the
+        length straight off the posting instead of joining the
+        field_lengths table — one broadcast join and one full lengths
+        scan removed from every term/phrase query (guide §2.4)."""
+
+        if with_dl:
+            @F.pandas_udf(
+                "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
+                "dls:array<bigint>,positions:array<array<int>>>"
+            )
+            def _decode_dl(
+                doc_b: pd.Series, tf_b: pd.Series, dl_b: pd.Series,
+                pos_b: pd.Series,
+            ) -> pd.DataFrame:
+                docs_out, tfs_out, dls_out, pos_out = [], [], [], []
+                for db, tb, lb, pb in zip(doc_b, tf_b, dl_b, pos_b):
+                    doc_ids, tfs = decode_doc_block(db, tb)
+                    docs_out.append(doc_ids.astype(np.int64).tolist())
+                    tfs_out.append(tfs.astype(np.int64).tolist())
+                    dls_out.append(
+                        varint_decode(lb).astype(np.int64).tolist()
+                    )
+                    pos_out.append(decode_positions(pb, tfs))
+                return pd.DataFrame(
+                    {
+                        "doc_ids": docs_out,
+                        "tfs": tfs_out,
+                        "dls": dls_out,
+                        "positions": pos_out,
+                    }
+                )
+
+            blocks = self.blocks.filter(F.col("field") == fld)
+            decoded = blocks.select(
+                "term",
+                _decode_dl(
+                    F.col("doc_bytes"), F.col("tf_bytes"), F.col("dl_bytes"),
+                    F.col("pos_bytes"),
+                ).alias("_d"),
+            )
+            return decoded.select(
+                F.lit(fld).alias("field"),
+                "term",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("_d.doc_ids").alias("doc_id"),
+                        F.col("_d.tfs").alias("tf"),
+                        F.col("_d.dls").alias("_bdl"),
+                        F.col("_d.positions").alias("positions"),
+                    )
+                ).alias("_p"),
+            ).select(
+                "field",
+                "term",
+                F.col("_p.doc_id").alias("doc_id"),
+                F.col("_p.tf").alias("tf"),
+                F.col("_p._bdl").alias("_bdl"),
+                F.col("_p.positions").alias("positions"),
+            )
 
         @F.pandas_udf(
             "struct<doc_ids:array<bigint>,tfs:array<bigint>,"

@@ -73,17 +73,32 @@ def _topk_compress(
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Blocks -> (doc_id, tf) rows (Arrow-batched numpy decode)."""
+    """Blocks -> (doc_id, tf) rows (Arrow-batched numpy decode).
+
+    Only the two byte streams actually decoded cross the Python boundary
+    (guide §4.1: select just what the function needs — store blocks also
+    carry position streams that would otherwise ship for nothing), and
+    each input Arrow batch yields ONE output frame instead of one tiny
+    frame per block."""
 
     def _decode(it):
         for pdf in it:
+            docs_out, tfs_out = [], []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs = decode_doc_block(row.doc_bytes, row.tf_bytes)
+                docs_out.append(doc_ids.astype(np.int64))
+                tfs_out.append(tfs.astype(np.int64))
+            if docs_out:
                 yield pd.DataFrame(
-                    {"doc_id": doc_ids.astype("int64"), "tf": tfs.astype("int64")}
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "tf": np.concatenate(tfs_out),
+                    }
                 )
 
-    return blocks.mapInPandas(_decode, schema="doc_id long, tf long")
+    return blocks.select("doc_bytes", "tf_bytes").mapInPandas(
+        _decode, schema="doc_id long, tf long"
+    )
 
 
 def scores_for_blocks(
@@ -95,17 +110,26 @@ def scores_for_blocks(
 
     def _score(it):
         for pdf in it:
+            docs_out, score_out = [], []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs = decode_doc_block(row.doc_bytes, row.tf_bytes)
                 dls = varint_decode(row.dl_bytes).astype(float)
                 scores = bm25_score_numpy(
                     tfs.astype(float), float(dfs[row.term]), dls, n, avgdl, k1, b
                 )
+                docs_out.append(doc_ids.astype(np.int64))
+                score_out.append(scores)
+            if docs_out:
                 yield pd.DataFrame(
-                    {"doc_id": doc_ids.astype("int64"), "score": scores}
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "score": np.concatenate(score_out),
+                    }
                 )
 
-    return blocks.mapInPandas(_score, schema=TOPK_SCHEMA)
+    return blocks.select("term", "doc_bytes", "tf_bytes", "dl_bytes").mapInPandas(
+        _score, schema=TOPK_SCHEMA
+    )
 
 
 def _candidate_scores(
@@ -124,6 +148,7 @@ def _candidate_scores(
     def _score(it):
         cands = cand_bc.value  # sorted int64
         for pdf in it:
+            docs_out, score_out = [], []
             for row in pdf.itertuples(index=False):
                 lo = np.searchsorted(cands, row.min_doc, side="left")
                 hi = np.searchsorted(cands, row.max_doc, side="right")
@@ -146,11 +171,19 @@ def _candidate_scores(
                     k1,
                     b,
                 )
+                docs_out.append(doc_ids[mask].astype(np.int64))
+                score_out.append(scores)
+            if docs_out:
                 yield pd.DataFrame(
-                    {"doc_id": doc_ids[mask].astype("int64"), "score": scores}
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "score": np.concatenate(score_out),
+                    }
                 )
 
-    return blocks.mapInPandas(_score, schema=TOPK_SCHEMA)
+    return blocks.select(
+        "term", "min_doc", "max_doc", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInPandas(_score, schema=TOPK_SCHEMA)
 
 
 def _wand_pool_fn(dfs: dict[str, int], params: WandParams, k: int):
@@ -223,7 +256,9 @@ def term_topk(
         out = _wand_pool_fn({key[0]: df_t}, params, k)(key, pdf)
         return out[["doc_id", "score"]]
 
-    grouped = blocks.groupBy("term", "shard").applyInPandas(_one, schema=TOPK_SCHEMA)
+    grouped = blocks.select(
+        "term", "shard", "block_max_score", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).groupBy("term", "shard").applyInPandas(_one, schema=TOPK_SCHEMA)
     return grouped.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
@@ -259,7 +294,9 @@ def or_topk(
     terms = list(dfs)
     if not terms:
         return _empty(spark)
-    pooled = blocks.groupBy("term", "shard").applyInPandas(
+    pooled = blocks.select(
+        "term", "shard", "block_max_score", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).groupBy("term", "shard").applyInPandas(
         _wand_pool_fn(dfs, params, k),
         schema="term string, doc_id long, score double, term_max double",
     ).collect()

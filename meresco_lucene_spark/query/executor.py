@@ -137,6 +137,17 @@ def _dl_col(stats_omit_norms: bool, quantized: bool) -> Column:
     return F.col("norm_dl") if quantized else F.col("dl")
 
 
+def _use_inline_dl(index: InvertedIndex, quantized: bool) -> bool:
+    """True when the index's posting blocks carry the document length
+    the query wants (built quantized == queried quantized): scoring then
+    reads dl straight off the decoded posting (_bdl) instead of joining
+    the field_lengths table — one join + one full lengths scan removed
+    per scored term (guide §2.4)."""
+    return bool(getattr(index, "inline_dl", False)) and quantized == bool(
+        getattr(index, "quantized", False)
+    )
+
+
 def _term_hits(
     index: InvertedIndex,
     fld: str,
@@ -146,8 +157,21 @@ def _term_hits(
     similarity: str | None = None,
 ) -> DataFrame:
     st = index.field_stats(fld)
-    p = index.postings_for(fld).filter(F.col("term") == value).select("doc_id", "tf")
     sim = similarity or getattr(index, "similarity", "BM25")
+    needs_dl = sim != "TermFrequency" and not st.omit_norms
+    inline = needs_dl and _use_inline_dl(index, quantized)
+    if inline:
+        p = (
+            index.postings_for(fld, with_dl=True)
+            .filter(F.col("term") == value)
+            .select("doc_id", "tf", "_bdl")
+        )
+    else:
+        p = (
+            index.postings_for(fld)
+            .filter(F.col("term") == value)
+            .select("doc_id", "tf")
+        )
     if sim == "TermFrequency":
         # reference search/TermFrequencySimilarity.java:40-58
         return p.select("doc_id", term_frequency_score_expr(F.col("tf"), boost).alias("score"))
@@ -164,9 +188,12 @@ def _term_hits(
             * F.lit(boost)
         )
         return scored.select("doc_id", score.alias("score"))
-    lengths = index.lengths_for(fld)
-    dl = F.col("norm_dl") if quantized else F.col("dl")
-    scored = scored.join(lengths, "doc_id")
+    if inline:
+        dl = F.col("_bdl")
+    else:
+        lengths = index.lengths_for(fld)
+        dl = F.col("norm_dl") if quantized else F.col("dl")
+        scored = scored.join(lengths, "doc_id")
     score = bm25_score_expr(
         F.col("tf"), F.col("_df"), dl, st.n_docs, st.avgdl, index.k1, index.b, boost
     )
@@ -273,13 +300,23 @@ def _phrase_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
         return _term_hits(index, q.field, terms[0], q.boost, quantized)
     st = index.field_stats(q.field)
 
+    inline = _use_inline_dl(index, quantized)
     joined: DataFrame | None = None
     for i, t in enumerate(terms):
-        p = (
-            index.postings_for(q.field)
-            .filter(F.col("term") == t)
-            .select("doc_id", F.col("positions").alias(f"_p{i}"))
-        )
+        cols = ["doc_id", F.col("positions").alias(f"_p{i}")]
+        if inline and i == 0:
+            # dl rides the first term's postings — no lengths join below
+            p = (
+                index.postings_for(q.field, with_dl=True)
+                .filter(F.col("term") == t)
+                .select(*cols, "_bdl")
+            )
+        else:
+            p = (
+                index.postings_for(q.field)
+                .filter(F.col("term") == t)
+                .select(*cols)
+            )
         joined = p if joined is None else joined.join(p, "doc_id")
 
     conds = " AND ".join(
@@ -308,9 +345,12 @@ def _phrase_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
     )
 
     cand = cand.crossJoin(F.broadcast(idf_sum))
-    lengths = index.lengths_for(q.field)
-    dl = F.col("norm_dl") if quantized else F.col("dl")
-    cand = cand.join(lengths, "doc_id")
+    if inline:
+        dl = F.col("_bdl")
+    else:
+        lengths = index.lengths_for(q.field)
+        dl = F.col("norm_dl") if quantized else F.col("dl")
+        cand = cand.join(lengths, "doc_id")
     score = (
         F.col("_idf_sum")
         * tf_norm_expr(F.col("_pf"), dl, st.avgdl, index.k1, index.b)

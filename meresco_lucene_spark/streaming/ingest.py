@@ -274,18 +274,29 @@ def stream_ingest_incremental(
         else:
             batch_df = batch_df.dropDuplicates([id_col])
         if "_deleted" in cols:
+            # frame-path deletes (VERDICT r5): the dead ids flow straight
+            # from the batch into commit_batch's tombstone write — never
+            # collected to the driver (a CDC batch may delete millions of
+            # rows). One small agg job decides emptiness of both halves.
             dead = F.coalesce(F.col("_deleted"), F.lit(False))
-            dels = [r[0] for r in batch_df.filter(dead).select(id_col).collect()]
-            adds = batch_df.filter(~dead).drop("_deleted")
+            counts = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(dead, 1).otherwise(0)).alias("nd"),
+            ).collect()[0]
+            n_dead = int(counts["nd"] or 0)
+            has_adds = int(counts["n"]) - n_dead > 0
+            dels_df = (
+                batch_df.filter(dead).select(id_col) if n_dead else None
+            )
+            adds = batch_df.filter(~dead).drop("_deleted") if has_adds else None
         else:
-            dels, adds = [], batch_df
-        if adds.limit(1).count() == 0:
-            adds = None
-        if adds is not None or dels:
+            dels_df = None
+            adds = batch_df if batch_df.limit(1).count() else None
+        if adds is not None or dels_df is not None:
             # the epoch id travels INSIDE the commit (atomic with it)
             store.commit_batch(
                 adds,
-                delete_ids=dels or None,
+                delete_frame=dels_df,
                 id_col=id_col,
                 meta={"stream_epoch": int(epoch_id)},
             )

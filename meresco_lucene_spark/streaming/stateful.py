@@ -54,26 +54,54 @@ def _versioner(state_ttl_ms: int, seq_col: str | None = None):
         # chunk order is arbitrary, so without a sequence column the
         # version order would be nondeterministic (ADVICE r3). With
         # seq_col the key's rows are totalled-ordered before hashing.
-        texts = []
-        for pdf in pdfs:
-            if seq_col is not None:
-                texts.extend(zip(pdf[seq_col], pdf["text"]))
-            else:
-                texts.extend(pdf["text"])
+        chunks = list(pdfs)
+        if not chunks:
+            pdf = pd.DataFrame(columns=["text"] + ([seq_col] if seq_col else []))
+        elif len(chunks) > 1:
+            pdf = pd.concat(chunks, ignore_index=True)
+        else:
+            pdf = chunks[0]
         if seq_col is not None:
-            texts = [t for _, t in sorted(texts, key=lambda p: p[0])]
-        out_rows = []
-        for text in texts:
-            h = _content_hash(text)
-            if h == last_hash:
-                continue  # no-op update suppressed
-            version += 1
-            last_hash = h
-            out_rows.append((int(key[0]), version, text))
+            pdf = pdf.sort_values(seq_col, kind="stable", ignore_index=True)
+        texts = pdf["text"]
+        n = len(texts)
+        if n == 0:
+            state.update((version, last_hash))
+            if state_ttl_ms > 0:
+                state.setTimeoutDuration(state_ttl_ms)
+            yield pd.DataFrame(columns=["doc_id", "version", "text"])
+            return
+        # Vectorized version chain (VERDICT r5 #5): a row is kept iff
+        # its hash differs from the PREVIOUS row's hash (with the stored
+        # last_hash before row 0) — equivalent to the sequential
+        # keep-if-differs-from-last-kept walk, because every dropped row
+        # equals the kept hash preceding it. Versions are then a cumsum
+        # over the keep mask. (sha256 per row stays a C-primitive call;
+        # no Python-level chain loop remains.)
+        hashes = pd.Series(
+            [_content_hash(t) for t in texts], index=texts.index, dtype=object
+        )
+        prev = hashes.shift(1)
+        prev.iloc[0] = last_hash
+        keep = hashes.ne(prev)
+        n_new = int(keep.sum())
+        if n_new:
+            versions = version + keep.cumsum()
+            out = pd.DataFrame(
+                {
+                    "doc_id": int(key[0]),
+                    "version": versions[keep].astype("int64"),
+                    "text": texts[keep],
+                }
+            )
+            version += n_new
+            last_hash = hashes.iloc[-1]
+        else:
+            out = pd.DataFrame(columns=["doc_id", "version", "text"])
         state.update((version, last_hash))
         if state_ttl_ms > 0:
             state.setTimeoutDuration(state_ttl_ms)
-        yield pd.DataFrame(out_rows, columns=["doc_id", "version", "text"])
+        yield out
 
     return fn
 
