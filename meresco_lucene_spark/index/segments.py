@@ -99,48 +99,18 @@ class SegmentIndex:
         self.postings = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     # ------------------------------------------------------------- queries
-    def term_shards(self, term: str) -> list[int]:
-        row = (
-            self.term_stats.filter(F.col("term") == term)
-            .select("base_shard", "n_salts")
-            .collect()
-        )
-        if not row:
-            return []
-        base, n_salts = row[0]["base_shard"], row[0]["n_salts"]
-        n = self.meta["n_shards"]
-        return [(base + s) % n for s in range(n_salts)]
-
-    def blocks_for_term(self, term: str) -> DataFrame:
-        shards = self.term_shards(term)
-        if not shards:
-            return self.postings.filter(F.lit(False))
-        return self.postings.filter(
-            F.col("shard").isin(shards) & (F.col("term") == term)
-        )
-
-    @property
-    def _params(self) -> "WandParams":
-        m = self.meta
-        return WandParams(m["n_docs"], m["avgdl"], m["k1"], m["b"])
-
-    def term_topk(self, term: str, k: int = 10) -> DataFrame:
-        """Exact BM25 top-k for one term with block-max WAND pruning
-        (wand.term_topk; rank-identity property-tested)."""
-        stats = self.term_stats.filter(F.col("term") == term).select("df").collect()
-        df_t = int(stats[0]["df"]) if stats else None
-        return wand.term_topk(
-            self.spark, self.blocks_for_term(term), df_t, self._params, k
-        )
-
-    def blocks_for_terms(self, terms: list[str]) -> DataFrame:
-        """All blocks of a term set in ONE frame: shard+term predicates
-        from term_stats (one small collect), pushed to the parquet scan."""
-        rows = (
+    def _term_meta(self, terms: list[str]) -> list:
+        """ONE term_stats lookup serving both the shard list and the df
+        values — term/OR/AND top-k used to run two separate metadata
+        collects per query (df lookup + shard lookup); this is the fused
+        single small job."""
+        return (
             self.term_stats.filter(F.col("term").isin(terms))
-            .select("term", "base_shard", "n_salts")
+            .select("term", "df", "base_shard", "n_salts")
             .collect()
         )
+
+    def _blocks_for_meta(self, rows: list) -> DataFrame:
         if not rows:
             return self.postings.filter(F.lit(False))
         n = self.meta["n_shards"]
@@ -152,44 +122,82 @@ class SegmentIndex:
             F.col("shard").isin(shards) & F.col("term").isin(present)
         )
 
+    def term_shards(self, term: str) -> list[int]:
+        rows = self._term_meta([term])
+        if not rows:
+            return []
+        base, n_salts = rows[0]["base_shard"], rows[0]["n_salts"]
+        n = self.meta["n_shards"]
+        return [(base + s) % n for s in range(n_salts)]
+
+    def blocks_for_term(self, term: str) -> DataFrame:
+        return self._blocks_for_meta(self._term_meta([term]))
+
+    @property
+    def _params(self) -> "WandParams":
+        m = self.meta
+        return WandParams(m["n_docs"], m["avgdl"], m["k1"], m["b"])
+
+    def term_topk(self, term: str, k: int = 10) -> DataFrame:
+        """Exact BM25 top-k for one term with block-max WAND pruning
+        (wand.term_topk; rank-identity property-tested)."""
+        rows = self._term_meta([term])
+        df_t = int(rows[0]["df"]) if rows else None
+        return wand.term_topk(
+            self.spark, self._blocks_for_meta(rows), df_t, self._params, k
+        )
+
+    def blocks_for_terms(self, terms: list[str]) -> DataFrame:
+        """All blocks of a term set in ONE frame: shard+term predicates
+        from term_stats (one small collect), pushed to the parquet scan."""
+        return self._blocks_for_meta(self._term_meta(terms))
+
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
-        return {
-            r["term"]: int(r["df"])
-            for r in self.term_stats.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        }
+        return {r["term"]: int(r["df"]) for r in self._term_meta(terms)}
 
     def or_topk(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact disjunctive (SHOULD) BM25 top-k — distributed block-max
         WAND, O(1) driver jobs in the term count (see wand.or_topk)."""
         terms = list(dict.fromkeys(terms))
-        dfs = self._term_dfs(terms)
+        rows = self._term_meta(terms)
+        dfs = {r["term"]: int(r["df"]) for r in rows}
         if len(dfs) == 1:
-            return self.term_topk(next(iter(dfs)), k)
+            only = [r for r in rows if r["term"] == next(iter(dfs))]
+            return wand.term_topk(
+                self.spark, self._blocks_for_meta(only),
+                int(only[0]["df"]), self._params, k,
+            )
         return wand.or_topk(
-            self.spark, self.blocks_for_terms(list(dfs)), dfs, self._params, k
+            self.spark, self._blocks_for_meta(rows), dfs, self._params, k
         )
 
     def and_topk(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact conjunctive (MUST) BM25 top-k — rarest-term-driven
         candidates (wand.and_topk); a missing term means no hits."""
         terms = list(dict.fromkeys(terms))
-        dfs = self._term_dfs(terms)
+        rows = self._term_meta(terms)
+        dfs = {r["term"]: int(r["df"]) for r in rows}
         if len(dfs) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
         if len(dfs) == 1:
-            return self.term_topk(next(iter(dfs)), k)
+            only = [r for r in rows if r["term"] == next(iter(dfs))]
+            return wand.term_topk(
+                self.spark, self._blocks_for_meta(only),
+                int(only[0]["df"]), self._params, k,
+            )
         return wand.and_topk(
-            self.spark, self.blocks_for_terms(list(dfs)), dfs, self._params, k
+            self.spark, self._blocks_for_meta(rows), dfs, self._params, k
         )
 
     def term_scores(self, term: str) -> DataFrame:
         """Exact (doc_id, score) frame for one term from the blocks."""
-        dfs = self._term_dfs([term])
-        if not dfs:
+        rows = self._term_meta([term])
+        if not rows:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        return wand.scores_for_blocks(self.blocks_for_term(term), dfs, self._params)
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        return wand.scores_for_blocks(
+            self._blocks_for_meta(rows), dfs, self._params
+        )
 
     def term_postings(self, term: str) -> DataFrame:
         """Decode a term's blocks back to (doc_id, tf) rows."""
