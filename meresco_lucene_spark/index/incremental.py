@@ -579,9 +579,19 @@ class MultiGenIndex:
                 t = t.unionByName(p)
             self._tombstones = t
         self.n_docs = sum(s.n_docs for s in self.stores.values())
-        self.forward = self._live(
-            self._union(lambda s: s.forward), keep_gen=False
-        )
+        self._forward: DataFrame | None = None
+
+    @property
+    def forward(self) -> DataFrame:
+        """Lazy union of the generations' forward tables (liveness-
+        filtered): building it at open() forced a driver-side parquet
+        open of every generation's forward dir even for queries that
+        never touch stored fields."""
+        if self._forward is None:
+            self._forward = self._live(
+                self._union(lambda s: s.forward), keep_gen=False
+            )
+        return self._forward
 
     # --------------------------------------------------------- internals
     def _union(self, frame_of) -> DataFrame:

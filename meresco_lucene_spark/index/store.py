@@ -290,6 +290,7 @@ def build_index_store(
             if fwd_obs is not None
             else spark.read.parquet(os.path.join(out_dir, "forward")).count()
         )
+        occ_n = int(flat_obs.get["n"]) if flat_obs is not None else None
         # Auto-shard from the materialized occurrence count so one
         # shard's encode frame fits the per-task budget (a metadata-cheap
         # count over the parquet intermediate), floored at the session's
@@ -304,8 +305,7 @@ def build_index_store(
         n_shards, salt_buckets = pin_build_config(
             out_dir, resume, n_shards, salt_buckets,
             lambda: auto_n_shards(
-                int(flat_obs.get["n"]) if flat_obs is not None
-                else flat_postings.count(),
+                occ_n if occ_n is not None else flat_postings.count(),
                 spark.sparkContext.defaultParallelism,
             ),
         )
@@ -350,7 +350,17 @@ def build_index_store(
             tstats_src = spark.read.parquet(os.path.join(out_dir, "term_stats"))
         else:
             tstats_cached = tstats.persist(StorageLevel.MEMORY_AND_DISK)
-            tstats_cached.count()  # materialize once before both consumers
+            # Large builds materialize the cache once up front so the two
+            # consumers (table write, encode join) never duplicate the
+            # aggregation. A SMALL batch commit skips that extra job
+            # round-trip: the concurrent consumers may race to fill the
+            # tiny cache, and a duplicated small agg is cheaper than a
+            # whole sequential job on the refresh-latency path.
+            # Scale-adaptive on the observed occurrence count; override
+            # via MLS_SMALL_BUILD_OCC.
+            small_cap = int(os.environ.get("MLS_SMALL_BUILD_OCC", "2000000"))
+            if occ_n is None or occ_n > small_cap:
+                tstats_cached.count()
             from concurrent.futures import ThreadPoolExecutor
 
             tstats_pool = ThreadPoolExecutor(max_workers=1)
@@ -669,12 +679,36 @@ class PersistentIndex:
         self.stats = {
             f: FieldStats(**d) for f, d in meta["field_stats"].items()
         }
-        self.forward = spark.read.parquet(os.path.join(out_dir, "forward"))
-        self.field_lengths = spark.read.parquet(
-            os.path.join(out_dir, "field_lengths")
-        )
-        self.term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
-        self.blocks = spark.read.parquet(os.path.join(out_dir, "postings"))
+        # table handles are LAZY: spark.read.parquet does driver-side
+        # file listing + footer schema reads at call time, so opening
+        # all four tables eagerly costs ~4 driver round-trips per store
+        # even for a query that touches one table — multiplied by the
+        # generation count on a MultiGenIndex open (guide §5: the driver
+        # should do almost no work it can avoid)
+        self._tables: dict[str, DataFrame] = {}
+
+    def _table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            self._tables[name] = self.spark.read.parquet(
+                os.path.join(self.out_dir, name)
+            )
+        return self._tables[name]
+
+    @property
+    def forward(self) -> DataFrame:
+        return self._table("forward")
+
+    @property
+    def field_lengths(self) -> DataFrame:
+        return self._table("field_lengths")
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self._table("term_stats")
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self._table("postings")
 
     # ------------------------------------------------- InvertedIndex API
     def field_stats(self, fld: str) -> FieldStats:

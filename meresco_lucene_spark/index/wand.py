@@ -48,6 +48,19 @@ TOPK_SCHEMA = "doc_id long, score double"
 # un-pruned). 2M int64 ids = 16 MB broadcast — safe for any driver.
 CANDIDATE_BROADCAST_CAP = 2_000_000
 
+# Below this many TOTAL postings (sum of the query terms' df), OR/AND
+# top-k skip the multi-job WAND pipeline (pool -> θ -> candidates ->
+# rescore) and run ONE exhaustive decode-score-aggregate job: decoding
+# a couple of million postings is millisecond-scale numpy work spread
+# over the cluster, while each extra job is a full driver round-trip.
+# Rank/score-identical by construction (exhaustive IS the oracle
+# definition); WAND pruning still kicks in for the hot posting lists
+# where it matters. Scale-adaptive (driven by df, not core count);
+# override via MLS_WAND_EXHAUSTIVE_CAP.
+import os as _os
+
+EXHAUSTIVE_CAP = int(_os.environ.get("MLS_WAND_EXHAUSTIVE_CAP", "2000000"))
+
 
 @dataclass(frozen=True)
 class WandParams:
@@ -294,6 +307,16 @@ def or_topk(
     terms = list(dfs)
     if not terms:
         return _empty(spark)
+    if sum(dfs.values()) <= EXHAUSTIVE_CAP:
+        # small total posting volume: one exhaustive job beats three
+        # pruned ones (see EXHAUSTIVE_CAP)
+        return (
+            scores_for_blocks(blocks, dfs, params)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
     pooled = blocks.select(
         "term", "shard", "block_max_score", "doc_bytes", "tf_bytes", "dl_bytes"
     ).groupBy("term", "shard").applyInPandas(
@@ -362,6 +385,22 @@ def and_topk(
     terms = list(dfs)
     if not terms:
         return _empty(spark)
+    if sum(dfs.values()) <= EXHAUSTIVE_CAP:
+        # one exhaustive job: a doc matches the conjunction iff it has a
+        # posting for every term (exactly one posting per (term, doc)),
+        # so the per-doc posting count gates the sum (see EXHAUSTIVE_CAP)
+        return (
+            scores_for_blocks(blocks, dfs, params)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(terms))
+            .select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
     order = sorted(terms, key=lambda t: dfs[t])
     candidates = decode_blocks(blocks.filter(F.col("term") == order[0])).select(
         "doc_id"

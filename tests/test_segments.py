@@ -113,14 +113,33 @@ def test_and_topk_missing_term_empty(spark, seg):
     assert seg.and_topk(["import", "nosuchterm"], 10).count() == 0
 
 
-def test_or_topk_dominating_doc(spark, tmp_path):
+@pytest.mark.parametrize("op", ["or", "and"])
+def test_multi_topk_wand_path_rank_identity(spark, seg, op, monkeypatch):
+    """Pin the block-max WAND pipeline (pool -> θ -> candidate rescore):
+    with EXHAUSTIVE_CAP lowered to 0 the small-posting-set exhaustive
+    shortcut is disabled, so this covers the pruned path the shortcut
+    would otherwise hide on test-sized corpora."""
+    import meresco_lucene_spark.index.wand as wand
+
+    monkeypatch.setattr(wand, "EXHAUSTIVE_CAP", 0)
+    terms = ["import", "return"]
+    fn = seg.or_topk if op == "or" else seg.and_topk
+    got = [(r.doc_id, round(r.score, 9)) for r in fn(terms, 10).collect()]
+    assert got == exhaustive_multi_topk(spark, seg, terms, op)
+
+
+def test_or_topk_dominating_doc(spark, tmp_path, monkeypatch):
     """Regression for the θ invariant: one doc dominating BOTH term
     top-k pools. The old pooled-k-th θ could exceed the true k-th total
     (the same doc occupied several pool slots); θ is now the k-th
     largest per-doc SUM, which is a valid lower bound by construction.
-    Rank identity must hold for every k."""
+    Rank identity must hold for every k. (EXHAUSTIVE_CAP pinned to 0 so
+    the θ machinery actually runs on this tiny corpus.)"""
     import pandas as pd
 
+    import meresco_lucene_spark.index.wand as wand
+
+    monkeypatch.setattr(wand, "EXHAUSTIVE_CAP", 0)
     rows = [(0, "aaa bbb " * 20)]
     rows += [(i, "aaa filler words here") for i in range(1, 7)]
     rows += [(i, "bbb filler words here") for i in range(7, 13)]
@@ -302,6 +321,7 @@ def test_multi_topk_fallback_above_broadcast_cap(spark, seg, op, monkeypatch):
     import meresco_lucene_spark.index.wand as wand
 
     monkeypatch.setattr(wand, "CANDIDATE_BROADCAST_CAP", 0)
+    monkeypatch.setattr(wand, "EXHAUSTIVE_CAP", 0)
     terms = ["import", "return"]
     fn = seg.or_topk if op == "or" else seg.and_topk
     got = [(r.doc_id, round(r.score, 9)) for r in fn(terms, 10).collect()]

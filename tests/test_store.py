@@ -172,9 +172,16 @@ def _topk_of(ix, q, k):
     ]
 
 
-def test_store_wand_rank_identity(stores):
+@pytest.mark.parametrize("force_wand", [False, True])
+def test_store_wand_rank_identity(stores, force_wand, monkeypatch):
     """The store's block-max WAND fast path (term/or/and_topk) must be
-    rank- AND score-identical to the exact executor evaluation."""
+    rank- AND score-identical to the exact executor evaluation — on both
+    the small-set exhaustive shortcut and (force_wand) the pruned
+    pool/θ/candidate pipeline."""
+    if force_wand:
+        import meresco_lucene_spark.index.wand as wand
+
+        monkeypatch.setattr(wand, "EXHAUSTIVE_CAP", 0)
     mem, disk = stores
     for term in ("spark", "fast", "unique_term", "nosuchterm"):
         got = [(r["doc_id"], round(r["score"], 9))
