@@ -341,35 +341,56 @@ def build_segments(
         .persist()
     )
 
-    # ---- stage 1: docs (lengths + norms) --------------------------------
-    # dl straight from the token arrays: a second codegen'd tokenize pass
-    # is far cheaper than joining against the postings shuffle (and keeps
-    # stage 1 embarrassingly parallel — no shuffle at all). The corpus
-    # stats (n, sum_dl, min_dl) ride the write as Observations — no
-    # separate read-back aggregation job (guide §1/§5: don't recompute
-    # what a write can observe in passing).
-    n_docs = sum_dl = min_dl = None
-    if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
+    # ---- stages 1+2 overlapped ------------------------------------------
+    # Stage 1 (docs lengths + norms: a second shuffle-free codegen'd
+    # tokenize pass, cheaper than joining against the postings shuffle;
+    # corpus stats ride the write as Observations) and the HEAVY half of
+    # stage 2 (the df/cf aggregation — one tokenize + the build's main
+    # shuffle) are independent: the per-term salting/max-score columns
+    # need stage 1's stats, but they are a cheap projection OVER the
+    # aggregated cache. Both jobs are therefore submitted concurrently
+    # (guide §2.6); the projection and the term_stats table write happen
+    # after both land, with the write again overlapped with stage 3.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    docs_done = resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
+    stats_done = resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS"))
+    pool = ThreadPoolExecutor(max_workers=2)
+    tstats_writer = tstats_base = None
+    stage1_fut = None
+    if not docs_done:
         from pyspark.sql import Observation
 
         obs = Observation()
         lengths = toks.select("doc_id", dl_raw.cast("long").alias("dl"))
-        (
-            lengths.withColumn("norm_dl", quantize_dl_expr(F.col("dl")))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-                F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
-            )
-            .write.mode("overwrite")
-            .parquet(docs_dir)
+        docs_frame = lengths.withColumn(
+            "norm_dl", quantize_dl_expr(F.col("dl"))
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            F.coalesce(F.min("dl"), F.lit(1)).alias("m"),
         )
-        vals = obs.get
-        n_docs, sum_dl, min_dl = int(vals["n"]), int(vals["s"]), int(vals["m"])
-    _mark("stage1-docs")
 
-    if n_docs is None:  # resumed build: stats from the existing table
+        def _write_docs():
+            docs_frame.write.mode("overwrite").parquet(docs_dir)
+            vals = obs.get
+            return int(vals["n"]), int(vals["s"]), int(vals["m"])
+
+        stage1_fut = pool.submit(_write_docs)
+    base_fut = None
+    if not stats_done:
+        tstats_base = postings_flat.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base_fut = pool.submit(tstats_base.count)
+
+    if stage1_fut is not None:
+        n_docs, sum_dl, min_dl = stage1_fut.result()
+    else:  # resumed build: stats from the existing table
         agg = spark.read.parquet(docs_dir).agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
@@ -377,6 +398,7 @@ def build_segments(
         ).collect()[0]
         n_docs, sum_dl, min_dl = int(agg["n"]), int(agg["s"]), int(agg["m"])
     avgdl = sum_dl / n_docs if n_docs else 1.0
+    _mark("stage1-docs")
 
     # Auto-shard from the occurrence count (sum of doc lengths), floored
     # at the session's parallelism — then PINNED to disk so a resume on
@@ -387,27 +409,18 @@ def build_segments(
         lambda: auto_n_shards(sum_dl, spark.sparkContext.defaultParallelism),
     )
 
-    # ---- stage 2: term stats + salting decision -------------------------
-    # The stats frame is computed ONCE into a spill-backed cache; the
-    # term_stats table write then runs CONCURRENTLY with stage 3 (the
-    # encode joins the same cache), so the write is no longer a
-    # sequential barrier (guide §2.6 overlap of independent jobs).
-    tstats_writer = tstats_cached = tstats_pool = None
-    if resume and os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
+    if stats_done:
         tstats_df = spark.read.parquet(stats_dir)
     else:
+        base_fut.result()
         hot_threshold = max(int(hot_df_fraction * n_docs), 1)
-        tstats = postings_flat.groupBy("term").agg(
-            F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-        )
-
         idf_c = F.log(
             F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )
         # Upper bound of the score over all docs: tf/(tf+K) is increasing in
         # tf and decreasing in dl; bound with tf<=cf and the corpus-min dl.
-        tstats = (
-            tstats.withColumn(
+        tstats_df = (
+            tstats_base.withColumn(
                 "max_score",
                 idf_c
                 * (
@@ -426,17 +439,9 @@ def build_segments(
                 .cast("int"),
             )
         )
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark import StorageLevel
-
-        tstats_cached = tstats.persist(StorageLevel.MEMORY_AND_DISK)
-        tstats_cached.count()  # one materialization before both consumers
-        tstats_pool = ThreadPoolExecutor(max_workers=1)
-        tstats_writer = tstats_pool.submit(
-            lambda: tstats_cached.write.mode("overwrite").parquet(stats_dir)
+        tstats_writer = pool.submit(
+            lambda: tstats_df.write.mode("overwrite").parquet(stats_dir)
         )
-        tstats_df = tstats_cached
     _mark("stage2-term-stats")
 
     # ---- stage 3: sharded compressed postings + lineage -----------------
@@ -594,10 +599,9 @@ def build_segments(
 
     if tstats_writer is not None:
         tstats_writer.result()  # re-raise a failed term_stats write
-    if tstats_pool is not None:
-        tstats_pool.shutdown(wait=True)
-    if tstats_cached is not None:
-        tstats_cached.unpersist()
+    pool.shutdown(wait=True)
+    if tstats_base is not None:
+        tstats_base.unpersist()
     postings_flat.unpersist()
     meta = {
         "n_docs": n_docs,
