@@ -240,6 +240,21 @@ def auto_n_shards(
     return int(min(max(need, floor, 1), 65536))
 
 
+def shard_dispersion_partitions(n_shards: int, parallelism: int) -> int:
+    """Partition count for the encode exchange. groupBy("shard") hashes
+    the shard int into shuffle-partition buckets; with n_shards close to
+    the core count, murmur3 collisions routinely put 2-3 whole shards on
+    one task while other cores sit idle (guide §2.5: synthetic
+    partitioning keys with too few distinct values — use many more
+    buckets than keys so the hash spreads). Dispersing over 4x the shard
+    count makes same-bucket collisions rare; empty partitions cost only
+    a no-op task. When n_shards already dwarfs the parallelism, queueing
+    evens the load and dispersion is unnecessary."""
+    if n_shards <= 4 * max(parallelism, 1):
+        return n_shards * 4
+    return n_shards
+
+
 def pin_build_config(
     out_dir: str,
     resume: bool,
@@ -546,12 +561,27 @@ def build_segments(
             )
 
         # groupBy(shard).applyInPandas shuffles by shard itself — one
-        # shuffle, each task encodes exactly one shard's postings. The
+        # shuffle (the explicit repartition pre-establishes the same
+        # clustering over a DISPERSED partition count, so no second
+        # exchange appears and shard-hash collisions stop idling cores;
+        # see shard_dispersion_partitions), each task encodes exactly
+        # one shard's postings. Only the columns the encode reads cross
+        # the exchange (guide §2.3 project before the exchange). The
         # per-block lineage helpers (_h hash, _nbytes) are computed once
         # at write time so the lineage pass reads back only small
         # columns — the posting payload bytes are column-pruned out of
         # that scan entirely (guide §6).
-        encoded = flat.groupBy("shard").applyInPandas(_encode, schema=POSTINGS_SCHEMA)
+        encoded = (
+            flat.select("shard", "term", "doc_id", "tf", "_dl", "df")
+            .repartition(
+                shard_dispersion_partitions(
+                    n_shards, spark.sparkContext.defaultParallelism
+                ),
+                "shard",
+            )
+            .groupBy("shard")
+            .applyInPandas(_encode, schema=POSTINGS_SCHEMA)
+        )
         encoded = encoded.withColumn(
             "_h",
             F.xxhash64(

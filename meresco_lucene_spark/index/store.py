@@ -568,8 +568,24 @@ def build_index_store(
             )
 
         if remaining:
-            encoded = flat.groupBy("shard").applyInPandas(
-                _encode, schema=STORE_POSTINGS_SCHEMA
+            # dispersed shard exchange + projection before it: see
+            # segments.shard_dispersion_partitions (guide §2.5/§2.3)
+            from meresco_lucene_spark.index.segments import (
+                shard_dispersion_partitions,
+            )
+
+            encoded = (
+                flat.select(
+                    "shard", "field", "term", "doc_id", "pos", "_dl", "df"
+                )
+                .repartition(
+                    shard_dispersion_partitions(
+                        n_shards, spark.sparkContext.defaultParallelism
+                    ),
+                    "shard",
+                )
+                .groupBy("shard")
+                .applyInPandas(_encode, schema=STORE_POSTINGS_SCHEMA)
             )
             if lineage:
                 # per-block lineage helpers computed ONCE at write time
