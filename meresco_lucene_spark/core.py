@@ -336,7 +336,12 @@ class LuceneCore:
             )
         if field is None:
             return LuceneResponse(total=0, hits=[])
-        sim = similar_documents_df(reader, doc_id, field, max_freq=max_freq)
+        # k=None: the candidate frame is UNLIMITED so total counts every
+        # candidate and paging works past row 10 (ADVICE r5); the page
+        # itself stays a TakeOrderedAndProject below.
+        sim = similar_documents_df(
+            reader, doc_id, field, max_freq=max_freq, k=None
+        )
         total = sim.count()  # candidate-bounded aggregate, no row movement
         rows = (
             sim.join(reader.forward.select("doc_id", ID_FIELD), "doc_id")

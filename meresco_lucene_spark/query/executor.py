@@ -618,12 +618,15 @@ def similar_documents_df(
     doc_id: int,
     field: str = "text",
     max_freq: float = 0.1,
-    k: int = 10,
+    k: int | None = 10,
 ) -> DataFrame:
     """O12 similarDocuments (MLT): the seed doc's terms with
     df <= max_freq * N (the reference's CommonTermsQuery maxFreq,
     Lucene.java:818-846), OR'd over other docs, ranked by the count of
-    shared rare terms. Returns (doc_id, shared_terms) top-k.
+    shared rare terms. Returns (doc_id, shared_terms) top-k;
+    ``k=None`` returns the UNLIMITED ranked candidate frame (the facade
+    uses it so ``total`` counts all candidates and paging works past
+    row k — ADVICE r5).
 
     Plan shape: the seed's rare-term set is broadcast (bounded by one
     doc's vocabulary), the candidate scan is one semi-join over postings
@@ -639,15 +642,15 @@ def similar_documents_df(
         .select("term")
         .distinct()
     )
-    return (
+    out = (
         index.postings_for(field)
         .join(F.broadcast(seed_terms), "term", "left_semi")
         .filter(F.col("doc_id") != doc_id)
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("shared_terms"))
         .orderBy(F.col("shared_terms").desc(), F.col("doc_id").asc())
-        .limit(k)
     )
+    return out if k is None else out.limit(k)
 
 
 def mlt_seed_doc(

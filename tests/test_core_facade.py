@@ -134,6 +134,26 @@ def test_similar_documents_by_identifier(spark, tmp_path):
     assert len(paged.hits) == 1 and paged.total == r.total
 
 
+def test_similar_documents_paging_past_ten(spark, tmp_path):
+    """ADVICE r5: total must count ALL candidates (not a baked-in
+    top-10 cap) and pages starting at/after row 10 must be non-empty
+    when candidates exist there."""
+    c = LuceneCore(spark, str(tmp_path), name="mltp", n_shards=2)
+    for i in range(20):
+        extra = " zzrare" if i < 16 else ""
+        c.addDocument(
+            identifier=f"id:{i}",
+            fields=[{"type": "TextField", "name": "body",
+                     "value": f"common words doc{i}{extra}"}],
+        )
+    c.commit()
+    r = c.similarDocuments("id:1", max_freq=0.9, stop=20)
+    assert r.total == 15  # 16 sharers minus the seed itself
+    assert len(r.hits) == 15
+    tail = c.similarDocuments("id:1", max_freq=0.9, start=12, stop=15)
+    assert len(tail.hits) == 3 and tail.total == 15
+
+
 def test_auto_commit_at_commit_count(spark, tmp_path):
     c = LuceneCore(spark, str(tmp_path), name="auto", commit_count=2, n_shards=2)
     c.addDocument(identifier="a", fields=[{"type": "TextField", "name": "t", "value": "one doc"}])
