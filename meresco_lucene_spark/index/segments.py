@@ -220,7 +220,7 @@ def auto_n_shards(
     floor: int,
     row_bytes: int = OCC_ROW_BYTES,
     target_bytes: int = ENCODE_TARGET_BYTES,
-    min_occ_per_shard: int = 4096,
+    min_occ_per_shard: int | None = None,
 ) -> int:
     """Pick n_shards from the estimated occurrence volume: enough shards
     that one shard's encode frame fits the per-task budget, at least
@@ -232,9 +232,18 @@ def auto_n_shards(
     build — an incremental batch commit most of all — must not be padded
     out to parallelism-many near-empty shards, which cost a task each at
     encode and a parquet footer each on EVERY later read of the
-    generation (the union reader multiplies that by the gen count)."""
+    generation (the union reader multiplies that by the gen count).
+    Measured r6 (OPTIMIZATION_r06.md): encoding ~64k occurrences is
+    single-digit-millisecond numpy work while every extra shard task
+    costs Arrow ship + scheduling + a parquet file, so shards below
+    ~64k occurrences are pure overhead at build AND query time; env
+    override MLS_MIN_OCC_PER_SHARD."""
     import math
 
+    if min_occ_per_shard is None:
+        min_occ_per_shard = int(
+            os.environ.get("MLS_MIN_OCC_PER_SHARD", "65536")
+        )
     need = math.ceil(max(n_occurrences, 1) * row_bytes / target_bytes)
     floor = min(floor, math.ceil(max(n_occurrences, 1) / min_occ_per_shard))
     return int(min(max(need, floor, 1), 65536))
@@ -479,12 +488,38 @@ def build_segments(
 
     remaining = [s for s in range(n_shards) if s not in done_shards]
     if remaining:
-        shard_info = tstats_df.select("term", "df", "base_shard", "n_salts")
-        flat = postings_flat.join(shard_info, "term")
+        # The encode needs three per-term facts: base_shard (a pure hash,
+        # computed as a column expression), n_salts (1 for everything but
+        # the few hot terms), and df (for block-max scores). Joining the
+        # full term_stats frame for them shuffled every posting row by
+        # term — a second corpus-scale exchange (guide §2.4: remove
+        # shuffles outright). Instead, only the HOT terms (df >=
+        # hot_df_fraction * n_docs — at most sum_dl/(hot_df_fraction *
+        # n_docs) ≈ 20×avgdl of them, broadcast-small by construction)
+        # ride a broadcast left join carrying their df and salt count; a
+        # non-salted term's postings all land in ONE shard, so its true
+        # df is simply its in-task run length, computed for free by the
+        # encode's existing run detection.
+        if salt_buckets > 1:
+            hot = tstats_df.filter(F.col("n_salts") > 1).select(
+                "term",
+                F.col("df").cast("double").alias("_hot_df"),
+                F.col("n_salts").alias("_hot_salts"),
+            )
+            flat = postings_flat.join(F.broadcast(hot), "term", "left")
+            n_salts_c = F.coalesce(F.col("_hot_salts"), F.lit(1))
+        else:
+            flat = postings_flat.withColumn(
+                "_hot_df", F.lit(None).cast("double")
+            )
+            n_salts_c = F.lit(1)
         flat = flat.withColumn(
             "shard",
             (
-                (F.col("base_shard") + F.pmod(F.col("doc_id"), F.col("n_salts")))
+                (
+                    F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards))
+                    + F.pmod(F.col("doc_id"), n_salts_c)
+                )
                 % n_shards
             ).cast("int"),
         )
@@ -505,7 +540,7 @@ def build_segments(
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
             tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
             dls = pdf["_dl"].to_numpy(dtype=np.int64)[order]
-            dfs = pdf["df"].to_numpy(dtype=np.float64)[order]
+            hot_dfs = pdf["_hot_df"].to_numpy(dtype=np.float64)[order]
             n = len(terms)
             if n == 0:
                 return pd.DataFrame(
@@ -528,6 +563,14 @@ def build_segments(
             gaps = np.empty(n, dtype=np.int64)
             gaps[1:] = doc_ids[1:] - doc_ids[:-1]
             gaps[block_starts] = doc_ids[block_starts]
+
+            # df per posting: a non-salted term's postings all sit in
+            # this shard, so its df IS the run length; salted hot terms
+            # carry their true df in _hot_df (broadcast-joined).
+            run_sizes = np.diff(np.append(run_starts_idx, n)).astype(np.float64)
+            hot_run = hot_dfs[run_starts_idx]
+            df_runs = np.where(np.isnan(hot_run), run_sizes, hot_run)
+            dfs = df_runs[run_ids]
 
             scores = bm25_score_numpy(
                 tfs.astype(float), dfs, dls.astype(float), n_docs, avgdl, k1, b
@@ -572,7 +615,7 @@ def build_segments(
         # columns — the posting payload bytes are column-pruned out of
         # that scan entirely (guide §6).
         encoded = (
-            flat.select("shard", "term", "doc_id", "tf", "_dl", "df")
+            flat.select("shard", "term", "doc_id", "tf", "_dl", "_hot_df")
             .repartition(
                 shard_dispersion_partitions(
                     n_shards, spark.sparkContext.defaultParallelism

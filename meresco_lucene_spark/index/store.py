@@ -126,7 +126,7 @@ def build_index_store(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     n_shards: int | None = None,
-    salt_buckets: int = 8,
+    salt_buckets: int | None = None,
     block_size: int = 128,
     hot_df_fraction: float = 0.05,
     resume: bool = False,
@@ -163,8 +163,18 @@ def build_index_store(
     whole job of fixed overhead per commit; a later resume=True of such
     a store simply re-encodes from scratch."""
     import shutil
+    import time as _time
 
     from meresco_lucene_spark.index.builder import occurrence_frames
+
+    _verbose = bool(os.environ.get("MLS_STORE_VERBOSE"))
+    _t0 = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        if _verbose:
+            print(f"[build_index_store] {stage}: {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
 
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
@@ -284,6 +294,7 @@ def build_index_store(
                     fut.result()  # re-raises the first stage failure
         elif stage_writes:
             stage_writes[0]()
+        _mark("stage1-writes")
         flat_postings = spark.read.parquet(flat_dir)
         n_docs = (
             int(fwd_obs.get["n"])
@@ -301,6 +312,20 @@ def build_index_store(
             auto_n_shards,
             pin_build_config,
         )
+
+        # salt_buckets=None (auto): a SMALL build (a batch generation
+        # commit above all) disables hot-term salting outright
+        # (salt_buckets=1): skew is bounded by the batch itself (occ_n
+        # <= small cap keeps any single shard's encode frame inside the
+        # per-task budget), and with no salting the encode needs
+        # NOTHING from term_stats — no hot-term broadcast, and the
+        # encode job runs fully concurrent with the term_stats write
+        # instead of behind it. An EXPLICIT salt_buckets is always
+        # honored; the choice is pinned via pin_build_config like every
+        # other sharding decision, so resume keeps the same mapping.
+        small_cap = int(os.environ.get("MLS_SMALL_BUILD_OCC", "2000000"))
+        if salt_buckets is None:
+            salt_buckets = 1 if (occ_n is not None and occ_n <= small_cap) else 8
 
         n_shards, salt_buckets = pin_build_config(
             out_dir, resume, n_shards, salt_buckets,
@@ -358,7 +383,6 @@ def build_index_store(
             # whole sequential job on the refresh-latency path.
             # Scale-adaptive on the observed occurrence count; override
             # via MLS_SMALL_BUILD_OCC.
-            small_cap = int(os.environ.get("MLS_SMALL_BUILD_OCC", "2000000"))
             if occ_n is None or occ_n > small_cap:
                 tstats_cached.count()
             from concurrent.futures import ThreadPoolExecutor
@@ -370,14 +394,38 @@ def build_index_store(
                 )
             )
             tstats_src = tstats_cached
+        _mark("stage2-tstats-setup")
 
-        flat = flat_postings.join(
-            tstats_src.select("field", "term", "df", "base_shard", "n_salts"),
-            ["field", "term"],
-        ).withColumn(
+        # The encode needs per-term facts (base_shard, n_salts, df) but
+        # joining the full term_stats frame for them shuffled every
+        # occurrence row by (field, term) — a second corpus-scale
+        # exchange (guide §2.4). base_shard is a pure hash (column
+        # expression); only the few HOT terms (broadcast-small by
+        # construction: at most ~sum_dl/(hot_df_fraction*n_docs) of
+        # them) carry their df and salt count via a broadcast left
+        # join; a non-salted (field, term)'s occurrences all land in
+        # ONE shard, so its true df is its in-task posting-run length.
+        # With salting disabled (small builds) the encode reads nothing
+        # from term_stats at all and runs concurrent with its write.
+        if salt_buckets > 1:
+            hot = tstats_src.filter(F.col("n_salts") > 1).select(
+                "field",
+                "term",
+                F.col("df").cast("double").alias("_hot_df"),
+                F.col("n_salts").alias("_hot_salts"),
+            )
+            flat = flat_postings.join(F.broadcast(hot), ["field", "term"], "left")
+            n_salts_c = F.coalesce(F.col("_hot_salts"), F.lit(1))
+        else:
+            flat = flat_postings.withColumn("_hot_df", F.lit(None).cast("double"))
+            n_salts_c = F.lit(1)
+        flat = flat.withColumn(
             "shard",
             (
-                (F.col("base_shard") + F.pmod(F.col("doc_id"), F.col("n_salts")))
+                (
+                    F.pmod(F.xxhash64(F.col("field"), F.col("term")), F.lit(n_shards))
+                    + F.pmod(F.col("doc_id"), n_salts_c)
+                )
                 % n_shards
             ).cast("int"),
         )
@@ -477,7 +525,7 @@ def build_index_store(
             docs_o = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
             pos_o = pdf["pos"].to_numpy(dtype=np.int64)[order]
             dls_o = pdf["_dl"].to_numpy(dtype=np.int64)[order]
-            dfs_o = pdf["df"].to_numpy(dtype=np.float64)[order]
+            hot_o = pdf["_hot_df"].to_numpy(dtype=np.float64)[order]
 
             # posting boundaries: change of (field, term, doc)
             p_start = np.empty(n_occ, dtype=bool)
@@ -495,7 +543,7 @@ def build_index_store(
             doc_ids = docs_o[p_idx]
             tfs = (p_end - p_idx).astype(np.int64)
             dls = dls_o[p_idx]
-            dfs = dfs_o[p_idx]
+            hot_p = hot_o[p_idx]
             pos_lists = np.split(pos_o, p_idx[1:])
 
             run_start = np.empty(n, dtype=bool)
@@ -503,6 +551,12 @@ def build_index_store(
             run_start[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
             run_ids = np.cumsum(run_start) - 1
             run_starts_idx = np.flatnonzero(run_start)
+            # df per posting: a non-salted (field, term)'s postings all
+            # sit in this shard, so df IS its posting-run length; salted
+            # hot terms carry their true df in _hot_df.
+            run_sizes = np.diff(np.append(run_starts_idx, n)).astype(np.float64)
+            hot_run = hot_p[run_starts_idx]
+            dfs = np.where(np.isnan(hot_run), run_sizes, hot_run)[run_ids]
             pos_in_run = np.arange(n) - run_starts_idx[run_ids]
             block_start = run_start | (pos_in_run % block_size == 0)
             block_starts = np.flatnonzero(block_start)
@@ -576,7 +630,7 @@ def build_index_store(
 
             encoded = (
                 flat.select(
-                    "shard", "field", "term", "doc_id", "pos", "_dl", "df"
+                    "shard", "field", "term", "doc_id", "pos", "_dl", "_hot_df"
                 )
                 .repartition(
                     shard_dispersion_partitions(
@@ -610,6 +664,7 @@ def build_index_store(
                     (F.length("doc_bytes") + F.length("tf_bytes")).cast("long"),
                 )
             encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
+        _mark("stage3-encode-write")
         if remaining and lineage:
             # lineage: one row per completed shard; content hash is an
             # order-independent modular SUM of per-block xxhash64 (a
@@ -653,6 +708,7 @@ def build_index_store(
         }
         if tstats_writer is not None:
             tstats_writer.result()  # re-raise a failed term_stats write
+        _mark("stage4-lineage+tstats-wait")
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
         ok = True

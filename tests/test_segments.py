@@ -286,8 +286,9 @@ def test_auto_n_shards_bounds():
     )
 
     assert auto_n_shards(1_000, floor=8) == 1  # tiny: one real shard
-    assert auto_n_shards(20_000, floor=8) == 5  # ceil(20k/4096)
-    assert auto_n_shards(100_000, floor=8) == 8  # floor binds
+    assert auto_n_shards(20_000, floor=8) == 1  # still under 64k occ/shard
+    assert auto_n_shards(300_000, floor=8) == 5  # ceil(300k/65536)
+    assert auto_n_shards(1_000_000, floor=8) == 8  # floor binds
     for occ in (10**7, 10**9, 10**11):
         n = auto_n_shards(occ, floor=8)
         if n < 65536:
