@@ -76,10 +76,14 @@ _STORE_CACHE: dict[tuple[int, str], str] = {}
 
 def get_persistent_index(spark: SparkSession, sf_dir: str):
     """The seg_* entries' index: a persistent store built ONCE per
-    sf_dir, then REOPENED from disk on every query (a fresh
-    PersistentIndex handle each call — no session-cached DataFrames, no
-    re-tokenization; the reference's durable commit -> search contract)."""
-    from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+    sf_dir, then REOPENED from disk on every query (the session-scoped
+    HANDLE cache in store.open_persistent_index — no session-cached
+    DataFrame *data*, no re-tokenization, parquet re-read per action;
+    the reference's durable commit -> search contract)."""
+    from meresco_lucene_spark.index.store import (
+        build_index_store,
+        open_persistent_index,
+    )
 
     key = (id(spark), sf_dir)
     if key not in _STORE_CACHE:
@@ -92,7 +96,7 @@ def get_persistent_index(spark: SparkSession, sf_dir: str):
         path = tempfile.mkdtemp(prefix="mls_store_")
         build_index_store(df, path, **_DOCS_INDEX_SPEC)
         _STORE_CACHE[key] = path
-    return PersistentIndex(spark, _STORE_CACHE[key])
+    return open_persistent_index(spark, _STORE_CACHE[key])
 
 
 def _round_score(df: DataFrame, col: str = "score") -> DataFrame:

@@ -346,6 +346,25 @@ class InvertedIndex:
             field_lengths = field_lengths.persist()
             term_stats = term_stats.persist()
 
+        # Warm the postings cache CONCURRENTLY with the stats collect
+        # below (guide §2.6: the two jobs are independent — the stats
+        # aggregate only touches field_lengths). Build latency becomes
+        # max(stats job, postings job) instead of their sum; Spark's
+        # per-partition cache locks make a consumer racing this thread
+        # compute-or-wait, never double-compute. Failures surface in the
+        # first real consumer action (same computation), so the warmer
+        # swallows its own exception.
+        if cache:
+            import threading
+
+            def _warm(p=postings):
+                try:
+                    p.count()
+                except Exception:
+                    pass
+
+            threading.Thread(target=_warm, daemon=True).start()
+
         stats: dict[str, FieldStats] = {}
         stat_rows = (
             field_lengths.groupBy("field")

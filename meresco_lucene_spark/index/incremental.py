@@ -67,9 +67,35 @@ from pyspark.sql import functions as F
 
 from meresco_lucene_spark.index.builder import FieldStats
 from meresco_lucene_spark.index.committer import COMMITTER
-from meresco_lucene_spark.index.store import PersistentIndex, build_index_store
+from meresco_lucene_spark.index.store import (
+    PersistentIndex,
+    build_index_store,
+    open_persistent_index,
+)
 
 _GEN_PREFIX = "gen-"
+
+# Handle cache for tombstone frames (same design as
+# store.open_persistent_index): a committed generation's tombstones dir
+# is immutable, but every reader open re-listed it driver-side. Keyed by
+# the dir inode + mtime so a recreated dir (same path, new commit)
+# misses; rows are still read from parquet on every action.
+_TOMB_CACHE: dict[tuple, DataFrame] = {}
+_TOMB_CACHE_CAP = 256
+
+
+def _tombstone_frame(spark: SparkSession, tdir: str) -> DataFrame:
+    try:
+        st = os.stat(tdir)
+    except OSError:
+        return spark.read.parquet(tdir).select("doc_id")
+    key = (id(spark), tdir, st.st_ino, st.st_mtime_ns)
+    t = _TOMB_CACHE.get(key)
+    if t is None:
+        while len(_TOMB_CACHE) >= _TOMB_CACHE_CAP:
+            _TOMB_CACHE.pop(next(iter(_TOMB_CACHE)))
+        _TOMB_CACHE[key] = t = spark.read.parquet(tdir).select("doc_id")
+    return t
 
 
 def _gen_name(n: int) -> str:
@@ -553,13 +579,13 @@ class MultiGenIndex:
         for g in gens:
             gen_dir = os.path.join(root, _gen_name(g))
             if os.path.isdir(os.path.join(gen_dir, "store")):
-                self.stores[g] = PersistentIndex(
+                self.stores[g] = open_persistent_index(
                     spark, os.path.join(gen_dir, "store")
                 )
             tdir = os.path.join(gen_dir, "tombstones")
             if os.path.isdir(tdir):
                 tomb_parts.append(
-                    spark.read.parquet(tdir).select(
+                    _tombstone_frame(spark, tdir).select(
                         "doc_id", F.lit(g).alias("_tomb_gen")
                     )
                 )

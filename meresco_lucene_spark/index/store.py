@@ -726,6 +726,34 @@ def build_index_store(
 # --------------------------------------------------------------------- open
 
 
+# Session-scoped HANDLE cache (not a result cache): opening a store costs
+# driver-side parquet directory listings + footer schema reads for every
+# table the query touches, and callers like the per-query entry functions
+# and the multi-generation union reader re-open the same immutable store
+# once per query (× generations). The key includes the meta.json inode +
+# mtime, so a store REBUILT at the same path (meta.json rewritten) misses
+# the cache and re-lists — data itself is still read from parquet on
+# every action (guide §5: the driver should do almost no avoidable work).
+_PINDEX_CACHE: dict[tuple, "PersistentIndex"] = {}
+_PINDEX_CACHE_CAP = 64
+
+
+def open_persistent_index(spark: SparkSession, out_dir: str) -> "PersistentIndex":
+    out_dir = os.path.abspath(out_dir)
+    try:
+        st = os.stat(os.path.join(out_dir, "meta.json"))
+    except OSError:
+        # missing/unreadable meta: let the constructor raise its usual error
+        return PersistentIndex(spark, out_dir)
+    key = (id(spark), out_dir, st.st_ino, st.st_mtime_ns)
+    idx = _PINDEX_CACHE.get(key)
+    if idx is None:
+        while len(_PINDEX_CACHE) >= _PINDEX_CACHE_CAP:
+            _PINDEX_CACHE.pop(next(iter(_PINDEX_CACHE)))
+        _PINDEX_CACHE[key] = idx = PersistentIndex(spark, out_dir)
+    return idx
+
+
 class PersistentIndex:
     """Disk-backed index with the exact interface of InvertedIndex
     (postings_for / lengths_for / term_stats_for / field_stats / forward

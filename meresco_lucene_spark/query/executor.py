@@ -237,6 +237,79 @@ def _drilldown_hits(index: InvertedIndex, q: Q) -> DataFrame:
     )
 
 
+def _fused_term_hits(
+    index: InvertedIndex,
+    fld: str,
+    clauses: list[tuple[Q, bool]],
+    quantized: bool,
+) -> DataFrame:
+    """Several TermQuery scoring clauses on ONE field in ONE postings
+    scan (guide §6.2 scan once / §4.1): ``term isin (...)`` replaces one
+    filtered scan + decode branch per clause, per-term df comes from a
+    broadcast term_stats join, and the per-clause (boost, MUST) weights
+    fold into per-term CASE expressions. Row-for-row identical to the
+    per-clause union it replaces: a doc matching term t contributed one
+    row per clause of t with score s_t*boost_c and is_must flag — here
+    the same addends arrive pre-summed per term (s_t*Σboost_c, count of
+    MUST clauses), which the downstream groupBy aggregates identically.
+    With all boosts 1.0 (the common case) the score expression is
+    EXACTLY the single-clause expression."""
+    st = index.field_stats(fld)
+    sim = getattr(index, "similarity", "BM25")
+    # per distinct term: summed boost of its clauses + its MUST count
+    w_boost: dict[str, float] = {}
+    w_must: dict[str, int] = {}
+    for c, is_must in clauses:
+        w_boost[c.value] = w_boost.get(c.value, 0.0) + c.boost
+        w_must[c.value] = w_must.get(c.value, 0) + (1 if is_must else 0)
+    values = list(w_boost)
+
+    def _per_term(mapping: dict, cast: str) -> Column:
+        expr = None
+        for t, v in mapping.items():
+            expr = (
+                F.when(F.col("term") == t, F.lit(v))
+                if expr is None
+                else expr.when(F.col("term") == t, F.lit(v))
+            )
+        return expr.otherwise(F.lit(0)).cast(cast)
+
+    is_must_c = _per_term(w_must, "int").alias("is_must")
+    uniform_boost = set(w_boost.values()) == {1.0}
+    needs_dl = sim != "TermFrequency" and not st.omit_norms
+    inline = needs_dl and _use_inline_dl(index, quantized)
+    cols = ["term", "doc_id", "tf"] + (["_bdl"] if inline else [])
+    p = (
+        index.postings_for(fld, with_dl=True)
+        if inline
+        else index.postings_for(fld)
+    ).filter(F.col("term").isin(values)).select(*cols)
+    if sim == "TermFrequency":
+        score = term_frequency_score_expr(F.col("tf"), 1.0)
+    else:
+        tstats = index.term_stats_for(fld).filter(
+            F.col("term").isin(values)
+        ).select("term", F.col("df").alias("_df"))
+        p = p.join(F.broadcast(tstats), "term")
+        if st.omit_norms:
+            score = idf_expr(F.col("_df"), st.n_docs) * (
+                F.col("tf").cast("double") / (F.col("tf") + F.lit(index.k1))
+            )
+        else:
+            if inline:
+                dl = F.col("_bdl")
+            else:
+                p = p.join(index.lengths_for(fld), "doc_id")
+                dl = F.col("norm_dl") if quantized else F.col("dl")
+            score = bm25_score_expr(
+                F.col("tf"), F.col("_df"), dl, st.n_docs, st.avgdl,
+                index.k1, index.b,
+            )
+    if not uniform_boost:
+        score = score * _per_term(w_boost, "double")
+    return p.select("doc_id", score.alias("score"), is_must_c)
+
+
 def _bool_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
     musts = [c for occ, c in q.clauses if occ == MUST]
     shoulds = [c for occ, c in q.clauses if occ == SHOULD]
@@ -247,11 +320,28 @@ def _bool_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
         (c, False) for c in shoulds
     ]
     if scoring:
-        frames = [
+        # Same-field TermQuery clauses fuse into one scan (see
+        # _fused_term_hits); everything else keeps its own hit frame.
+        by_field: dict[str, list[tuple[Q, bool]]] = {}
+        rest: list[tuple[Q, bool]] = []
+        for c, is_must in scoring:
+            if c.type == "TermQuery":
+                by_field.setdefault(c.field, []).append((c, is_must))
+            else:
+                rest.append((c, is_must))
+        frames = []
+        for fldname, grp in by_field.items():
+            if len(grp) >= 2:
+                frames.append(
+                    _fused_term_hits(index, fldname, grp, quantized)
+                )
+            else:
+                rest.extend(grp)
+        frames += [
             hits(index, c, quantized).select(
                 "doc_id", "score", F.lit(1 if is_must else 0).alias("is_must")
             )
-            for c, is_must in scoring
+            for c, is_must in rest
         ]
         u = frames[0]
         for f in frames[1:]:
