@@ -391,23 +391,72 @@ def _phrase_hits(index: InvertedIndex, q: Q, quantized: bool) -> DataFrame:
     st = index.field_stats(q.field)
 
     inline = _use_inline_dl(index, quantized)
-    joined: DataFrame | None = None
-    for i, t in enumerate(terms):
-        cols = ["doc_id", F.col("positions").alias(f"_p{i}")]
-        if inline and i == 0:
-            # dl rides the first term's postings — no lengths join below
-            p = (
-                index.postings_for(q.field, with_dl=True)
-                .filter(F.col("term") == t)
-                .select(*cols, "_bdl")
+    if getattr(index, "inline_dl", False):
+        # Disk stores decode blocks through a pandas UDF, so each
+        # per-term branch costs a scan + Python decode stage: gather
+        # all phrase terms in ONE scan instead (guide §6.2 scan once /
+        # §4.1) and pick the per-term position arrays by a doc_id
+        # aggregation with FIRST(CASE) — a doc has at most one posting
+        # per term, so the picks are deterministic and the doc set
+        # (all terms present) matches the inner-join chain this
+        # replaces row for row. Besides halving the decode branches,
+        # this removes a size-estimated broadcast join whose build
+        # side sat above a pandas UDF (Catalyst cannot estimate that
+        # side — a mid-frequency term there was a broadcast-OOM hazard
+        # at scale); the aggregation is shuffle-bounded and
+        # AQE-coalesced. The session-cached DataFrame index keeps the
+        # broadcast-join shape: its postings are already decoded in
+        # memory, so there is no branch cost to save and the
+        # aggregation would only add an exchange (measured r6).
+        distinct_terms = list(dict.fromkeys(terms))
+        p = (
+            index.postings_for(q.field, with_dl=True)
+            if inline
+            else index.postings_for(q.field)
+        ).filter(F.col("term").isin(distinct_terms))
+        aggs = [
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")), ignorenulls=True
+            ).alias(f"_q{j}")
+            for j, t in enumerate(distinct_terms)
+        ]
+        if inline:
+            # dl rides the first term's posting — no lengths join below
+            aggs.append(
+                F.first(
+                    F.when(F.col("term") == terms[0], F.col("_bdl")),
+                    ignorenulls=True,
+                ).alias("_bdl")
             )
-        else:
-            p = (
-                index.postings_for(q.field)
-                .filter(F.col("term") == t)
-                .select(*cols)
-            )
-        joined = p if joined is None else joined.join(p, "doc_id")
+        g = p.groupBy("doc_id").agg(*aggs)
+        present = None
+        for j in range(len(distinct_terms)):
+            c = F.col(f"_q{j}").isNotNull()
+            present = c if present is None else (present & c)
+        sel = ["doc_id"] + [
+            F.col(f"_q{distinct_terms.index(t)}").alias(f"_p{i}")
+            for i, t in enumerate(terms)
+        ]
+        if inline:
+            sel.append(F.col("_bdl"))
+        joined = g.filter(present).select(*sel)
+    else:
+        joined = None
+        for i, t in enumerate(terms):
+            cols = ["doc_id", F.col("positions").alias(f"_p{i}")]
+            if inline and i == 0:
+                p = (
+                    index.postings_for(q.field, with_dl=True)
+                    .filter(F.col("term") == t)
+                    .select(*cols, "_bdl")
+                )
+            else:
+                p = (
+                    index.postings_for(q.field)
+                    .filter(F.col("term") == t)
+                    .select(*cols)
+                )
+            joined = p if joined is None else joined.join(p, "doc_id")
 
     conds = " AND ".join(
         f"exists(_p{i}, y -> y = x + {i})" for i in range(1, len(terms))
