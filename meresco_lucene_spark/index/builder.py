@@ -68,8 +68,9 @@ def _spread_for_tokenize(df: DataFrame) -> DataFrame:
     exchange of the raw rows, repartition to the parallelism; below the
     threshold (a small incremental batch commit) the exchange costs
     more than it saves (A/B-measured r6: +0.7s on a 1.7k-doc commit,
-    −7s on a 50k-doc build), and a large input already has >=
-    parallelism partitions and is left untouched (guide §2.2:
+    −7s on a 50k-doc build — the measured crossover sits between those
+    input sizes, hence the 3 MB default), and a large input already
+    has >= parallelism partitions and is left untouched (guide §2.2:
     scale-adaptive partitioning, no constant tuned to either local
     mode or the cluster). Threshold override:
     MLS_TOKENIZE_SPREAD_MIN_BYTES."""
@@ -84,7 +85,7 @@ def _spread_for_tokenize(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     min_bytes = int(
-        os.environ.get("MLS_TOKENIZE_SPREAD_MIN_BYTES", str(24 << 20))
+        os.environ.get("MLS_TOKENIZE_SPREAD_MIN_BYTES", str(3 << 20))
     )
     return df.repartition(par) if est >= min_bytes else df
 
