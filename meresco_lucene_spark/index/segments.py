@@ -615,7 +615,19 @@ def build_segments(
         # columns — the posting payload bytes are column-pruned out of
         # that scan entirely (guide §6).
         encoded = (
-            flat.select("shard", "term", "doc_id", "tf", "_dl", "_hot_df")
+            # tf and dl fit 32 bits by construction (token counts of one
+            # document): shipping them as ints instead of longs cuts 8
+            # bytes/row off the build's biggest exchange (guide §2.3
+            # narrower types); the encode reads them back as int64
+            # numpy arrays, so the written streams are byte-identical.
+            flat.select(
+                "shard",
+                "term",
+                "doc_id",
+                F.col("tf").cast("int").alias("tf"),
+                F.col("_dl").cast("int").alias("_dl"),
+                "_hot_df",
+            )
             .repartition(
                 shard_dispersion_partitions(
                     n_shards, spark.sparkContext.defaultParallelism

@@ -629,8 +629,17 @@ def build_index_store(
             )
 
             encoded = (
+                # _dl fits 32 bits (one document's token count): int not
+                # long across the exchange (guide §2.3 narrower types);
+                # read back as int64 numpy, streams byte-identical.
                 flat.select(
-                    "shard", "field", "term", "doc_id", "pos", "_dl", "_hot_df"
+                    "shard",
+                    "field",
+                    "term",
+                    "doc_id",
+                    "pos",
+                    F.col("_dl").cast("int").alias("_dl"),
+                    "_hot_df",
                 )
                 .repartition(
                     shard_dispersion_partitions(
