@@ -665,8 +665,24 @@ class MultiGenIndex:
     inline_dl = True
 
     def postings_for(self, fld: str, with_dl: bool = False) -> DataFrame:
+        # Union the RAW block frames (field/term filters still push into
+        # every generation's parquet scan) and decode ONCE: one Python
+        # eval stage per query instead of one per generation (guide §4);
+        # the per-branch _gen literal rides through the decode for the
+        # liveness anti-join.
+        from meresco_lucene_spark.index.store import decode_block_frame
+
+        parts = [
+            s.blocks.filter(F.col("field") == fld).withColumn(
+                "_gen", F.lit(g)
+            )
+            for g, s in self.stores.items()
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
         return self._live(
-            self._union(lambda s: s.postings_for(fld, with_dl=with_dl))
+            decode_block_frame(u, fld, with_dl, passthrough=("_gen",))
         )
 
     def lengths_for(self, fld: str) -> DataFrame:

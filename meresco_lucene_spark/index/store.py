@@ -735,6 +735,124 @@ def build_index_store(
 # --------------------------------------------------------------------- open
 
 
+def decode_block_frame(
+    blocks: DataFrame,
+    fld: str,
+    with_dl: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Posting-block frame -> decoded (field, term, doc_id, tf,
+    positions[, _bdl][, passthrough...]) rows.
+
+    The decode is a PROJECTION (Arrow-batched pandas UDF in a select)
+    followed by a JVM arrays_zip+explode — never an opaque mapInPandas —
+    so caller filters on pass-through columns (term above all) push
+    below it into the parquet scan. ``passthrough`` names extra columns
+    (e.g. the union reader's ``_gen`` tag) carried alongside each
+    decoded posting. Shared by PersistentIndex (one store) and
+    MultiGenIndex (a UNION of stores' block frames decoded ONCE —
+    one Python eval stage per query instead of one per generation)."""
+    pt = list(passthrough)
+    if with_dl:
+        @F.pandas_udf(
+            "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
+            "dls:array<bigint>,positions:array<array<int>>>"
+        )
+        def _decode_dl(
+            doc_b: pd.Series, tf_b: pd.Series, dl_b: pd.Series,
+            pos_b: pd.Series,
+        ) -> pd.DataFrame:
+            docs_out, tfs_out, dls_out, pos_out = [], [], [], []
+            for db, tb, lb, pb in zip(doc_b, tf_b, dl_b, pos_b):
+                doc_ids, tfs = decode_doc_block(db, tb)
+                docs_out.append(doc_ids.astype(np.int64).tolist())
+                tfs_out.append(tfs.astype(np.int64).tolist())
+                dls_out.append(varint_decode(lb).astype(np.int64).tolist())
+                pos_out.append(decode_positions(pb, tfs))
+            return pd.DataFrame(
+                {
+                    "doc_ids": docs_out,
+                    "tfs": tfs_out,
+                    "dls": dls_out,
+                    "positions": pos_out,
+                }
+            )
+
+        decoded = blocks.select(
+            "term",
+            *pt,
+            _decode_dl(
+                F.col("doc_bytes"), F.col("tf_bytes"), F.col("dl_bytes"),
+                F.col("pos_bytes"),
+            ).alias("_d"),
+        )
+        return decoded.select(
+            F.lit(fld).alias("field"),
+            "term",
+            *pt,
+            F.explode(
+                F.arrays_zip(
+                    F.col("_d.doc_ids").alias("doc_id"),
+                    F.col("_d.tfs").alias("tf"),
+                    F.col("_d.dls").alias("_bdl"),
+                    F.col("_d.positions").alias("positions"),
+                )
+            ).alias("_p"),
+        ).select(
+            "field",
+            "term",
+            *pt,
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_p.tf").alias("tf"),
+            F.col("_p._bdl").alias("_bdl"),
+            F.col("_p.positions").alias("positions"),
+        )
+
+    @F.pandas_udf(
+        "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
+        "positions:array<array<int>>>"
+    )
+    def _decode(
+        doc_b: pd.Series, tf_b: pd.Series, pos_b: pd.Series
+    ) -> pd.DataFrame:
+        docs_out, tfs_out, pos_out = [], [], []
+        for db, tb, pb in zip(doc_b, tf_b, pos_b):
+            doc_ids, tfs = decode_doc_block(db, tb)
+            docs_out.append(doc_ids.astype(np.int64).tolist())
+            tfs_out.append(tfs.astype(np.int64).tolist())
+            pos_out.append(decode_positions(pb, tfs))
+        return pd.DataFrame(
+            {"doc_ids": docs_out, "tfs": tfs_out, "positions": pos_out}
+        )
+
+    decoded = blocks.select(
+        "term",
+        *pt,
+        _decode(
+            F.col("doc_bytes"), F.col("tf_bytes"), F.col("pos_bytes")
+        ).alias("_d"),
+    )
+    return decoded.select(
+        F.lit(fld).alias("field"),
+        "term",
+        *pt,
+        F.explode(
+            F.arrays_zip(
+                F.col("_d.doc_ids").alias("doc_id"),
+                F.col("_d.tfs").alias("tf"),
+                F.col("_d.positions").alias("positions"),
+            )
+        ).alias("_p"),
+    ).select(
+        "field",
+        "term",
+        *pt,
+        F.col("_p.doc_id").alias("doc_id"),
+        F.col("_p.tf").alias("tf"),
+        F.col("_p.positions").alias("positions"),
+    )
+
+
 # Session-scoped HANDLE cache (not a result cache): opening a store costs
 # driver-side parquet directory listings + footer schema reads for every
 # table the query touches, and callers like the per-query entry functions
@@ -844,102 +962,8 @@ class PersistentIndex:
         length straight off the posting instead of joining the
         field_lengths table — one broadcast join and one full lengths
         scan removed from every term/phrase query (guide §2.4)."""
-
-        if with_dl:
-            @F.pandas_udf(
-                "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
-                "dls:array<bigint>,positions:array<array<int>>>"
-            )
-            def _decode_dl(
-                doc_b: pd.Series, tf_b: pd.Series, dl_b: pd.Series,
-                pos_b: pd.Series,
-            ) -> pd.DataFrame:
-                docs_out, tfs_out, dls_out, pos_out = [], [], [], []
-                for db, tb, lb, pb in zip(doc_b, tf_b, dl_b, pos_b):
-                    doc_ids, tfs = decode_doc_block(db, tb)
-                    docs_out.append(doc_ids.astype(np.int64).tolist())
-                    tfs_out.append(tfs.astype(np.int64).tolist())
-                    dls_out.append(
-                        varint_decode(lb).astype(np.int64).tolist()
-                    )
-                    pos_out.append(decode_positions(pb, tfs))
-                return pd.DataFrame(
-                    {
-                        "doc_ids": docs_out,
-                        "tfs": tfs_out,
-                        "dls": dls_out,
-                        "positions": pos_out,
-                    }
-                )
-
-            blocks = self.blocks.filter(F.col("field") == fld)
-            decoded = blocks.select(
-                "term",
-                _decode_dl(
-                    F.col("doc_bytes"), F.col("tf_bytes"), F.col("dl_bytes"),
-                    F.col("pos_bytes"),
-                ).alias("_d"),
-            )
-            return decoded.select(
-                F.lit(fld).alias("field"),
-                "term",
-                F.explode(
-                    F.arrays_zip(
-                        F.col("_d.doc_ids").alias("doc_id"),
-                        F.col("_d.tfs").alias("tf"),
-                        F.col("_d.dls").alias("_bdl"),
-                        F.col("_d.positions").alias("positions"),
-                    )
-                ).alias("_p"),
-            ).select(
-                "field",
-                "term",
-                F.col("_p.doc_id").alias("doc_id"),
-                F.col("_p.tf").alias("tf"),
-                F.col("_p._bdl").alias("_bdl"),
-                F.col("_p.positions").alias("positions"),
-            )
-
-        @F.pandas_udf(
-            "struct<doc_ids:array<bigint>,tfs:array<bigint>,"
-            "positions:array<array<int>>>"
-        )
-        def _decode(
-            doc_b: pd.Series, tf_b: pd.Series, pos_b: pd.Series
-        ) -> pd.DataFrame:
-            docs_out, tfs_out, pos_out = [], [], []
-            for db, tb, pb in zip(doc_b, tf_b, pos_b):
-                doc_ids, tfs = decode_doc_block(db, tb)
-                docs_out.append(doc_ids.astype(np.int64).tolist())
-                tfs_out.append(tfs.astype(np.int64).tolist())
-                pos_out.append(decode_positions(pb, tfs))
-            return pd.DataFrame(
-                {"doc_ids": docs_out, "tfs": tfs_out, "positions": pos_out}
-            )
-
-        blocks = self.blocks.filter(F.col("field") == fld)
-        decoded = blocks.select(
-            "term",
-            _decode(
-                F.col("doc_bytes"), F.col("tf_bytes"), F.col("pos_bytes")
-            ).alias("_d"),
-        )
-        return decoded.select(
-            F.lit(fld).alias("field"),
-            "term",
-            F.explode(
-                F.arrays_zip(
-                    F.col("_d.doc_ids").alias("doc_id"),
-                    F.col("_d.tfs").alias("tf"),
-                    F.col("_d.positions").alias("positions"),
-                )
-            ).alias("_p"),
-        ).select(
-            "field",
-            "term",
-            F.col("_p.doc_id").alias("doc_id"),
-            F.col("_p.tf").alias("tf"),
-            F.col("_p.positions").alias("positions"),
+        return decode_block_frame(
+            self.blocks.filter(F.col("field") == fld), fld, with_dl
         )
 
     def lengths_for(self, fld: str) -> DataFrame:
