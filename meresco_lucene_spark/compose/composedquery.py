@@ -73,7 +73,11 @@ class ComposedQuery:
     other_core_facet_filters: dict[str, list[Q]] = dc_field(default_factory=dict)
     unites: list[Unite] = dc_field(default_factory=list)
     matches: dict[tuple[str, str], str] = dc_field(default_factory=dict)
-    rank_query_score_ratio: float = 0.5
+    # None = never explicitly set (resolves to the reference default 0.5
+    # at execute time); tracking this lets to_dict emit the key whenever
+    # the wire/client SET a ratio — including an explicit 0.5, which the
+    # old !=0.5 check silently dropped on round-trip (ADVICE r5)
+    rank_query_score_ratio: float | None = None
     sort_keys: list[dict] = dc_field(default_factory=list)
     dedup_field: str | None = None
     dedup_sort_fields: list[dict] = dc_field(default_factory=list)
@@ -225,9 +229,24 @@ class ComposedQuery:
         if rfj:
             import json as _json
 
-            # validate() parity: a non-JSON string is rejected here
-            rfd = _json.loads(rfj) if isinstance(rfj, str) else rfj
+            # validate() parity (reference composedquery.py:217-221): a
+            # non-JSON string raises ValueError with the reference's
+            # message, not a bare JSONDecodeError
+            if isinstance(rfj, str):
+                try:
+                    rfd = _json.loads(rfj)
+                except ValueError:
+                    raise ValueError(
+                        "Value '%s' for 'relationalFilterJson' can not "
+                        "be parsed as JSON." % rfj
+                    )
+            else:
+                rfd = rfj
             cq.relational_filter = rfd  # execute decodes via RQ.from_dict
+        # cores the wire named but no query references — keep them so
+        # from_dict(to_dict()) is a fixpoint (the reference carries the
+        # client-supplied cores list as-is)
+        cq.wire_cores = set(dct.get("cores") or ())
         return cq
 
     def to_dict(self) -> dict:
@@ -240,6 +259,7 @@ class ComposedQuery:
             return q.to_dict() if isinstance(q, Q) else q
 
         cores = {self.result_from}
+        cores.update(getattr(self, "wire_cores", ()))
         cores.update(self.queries)
         cores.update(self.filter_queries)
         cores.update(self.exclude_filter_queries)
@@ -290,7 +310,7 @@ class ComposedQuery:
             d["_dedupSortField"] = list(self.dedup_sort_fields)
         if self.stored_fields:
             d["_storedFields"] = list(self.stored_fields)
-        if self.rank_query_score_ratio != 0.5:
+        if self.rank_query_score_ratio is not None:
             d["_rankQueryScoreRatio"] = self.rank_query_score_ratio
         if self.suggestion_request is not None:
             d["_suggestionRequest"] = self.suggestion_request
@@ -415,7 +435,11 @@ def execute_composed(
         )
         rank_frames.append((result_key, scores))
     if rank_frames:
-        ratio = cq.rank_query_score_ratio
+        ratio = (
+            0.5
+            if cq.rank_query_score_ratio is None
+            else cq.rank_query_score_ratio
+        )
         # Reference chains one AggregateScoreSuperCollector per result key
         # name (MultiLucene.java:300-321): within a key name the (1+s)
         # factors multiply; across key names the blend formula nests.

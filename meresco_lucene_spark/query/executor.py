@@ -533,20 +533,34 @@ class LuceneResponse:
 
     def asJson(self, **dumps_kwargs) -> str:
         import json
+        from dataclasses import MISSING
 
-        def strip(obj: dict) -> dict:
+        def strip(obj: dict, cls_) -> dict:
+            # Omit ONLY fields still at their dataclass defaults — an
+            # explicitly different value survives even when it is an
+            # empty container (the reference serializes every set
+            # attribute; e.g. suggestions={} must round-trip, ADVICE
+            # r5). Extra attributes picked up from a foreign payload
+            # have no default and are always emitted.
+            defaults = {}
+            for f in dc_fields(cls_):
+                if f.default is not MISSING:
+                    defaults[f.name] = f.default
+                elif f.default_factory is not MISSING:
+                    defaults[f.name] = f.default_factory()
             return {
-                k: v for k, v in obj.items()
-                if v is not None and v != {} and v != []
+                k: v
+                for k, v in obj.items()
+                if k not in defaults or v != defaults[k]
             }
 
         class _Enc(json.JSONEncoder):
             def default(self, o):
                 if isinstance(o, Hit):
-                    return {"__class__": "Hit", **strip(vars(o))}
+                    return {"__class__": "Hit", **strip(vars(o), Hit)}
                 return json.JSONEncoder.default(self, o)
 
-        d = strip(vars(self))
+        d = strip(vars(self), type(self))
         d["total"] = self.total  # total is always present, even 0
         d["hits"] = self.hits  # likewise (possibly empty) hits
         return json.dumps(d, cls=_Enc, **dumps_kwargs)

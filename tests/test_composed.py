@@ -558,6 +558,40 @@ def test_composed_query_wire_round_trip(cores):
     assert ComposedQuery.from_dict(d2).to_dict() == d2
 
 
+def test_wire_dict_round_trip_edge_cases():
+    """ADVICE r5: an EXPLICIT ratio of 0.5 survives the round-trip, a
+    non-JSON relational filter string raises the reference's ValueError
+    (composedquery.py:217-221), and wire-named cores referenced by no
+    query are kept."""
+    import pytest as _pytest
+
+    wire = {
+        "resultsFrom": "coreA",
+        "cores": ["coreA", "coreB", "coreGhost"],
+        "_queries": {"coreA": Q.term("M", "true").to_dict()},
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "A"},
+                {"core": "coreB", "key": "B"},
+            ]
+        },
+        "_rankQueryScoreRatio": 0.5,
+    }
+    cq = ComposedQuery.from_dict(wire)
+    d = cq.to_dict()
+    assert d["_rankQueryScoreRatio"] == 0.5  # explicit default survives
+    assert "coreGhost" in d["cores"]  # unreferenced wire core kept
+    assert ComposedQuery.from_dict(d).to_dict() == d
+    # never-set ratio stays off the wire
+    assert "_rankQueryScoreRatio" not in ComposedQuery.from_dict(
+        {k: v for k, v in wire.items() if k != "_rankQueryScoreRatio"}
+    ).to_dict()
+
+    bad = dict(wire, _relationalFilterJson="{not json")
+    with _pytest.raises(ValueError, match="can not be parsed as JSON"):
+        ComposedQuery.from_dict(bad)
+
+
 def test_composed_query_wire_match_validation():
     """addMatch validation parity (composedquery.py:119-132): the
     resultsFrom side must declare uniqueKey, and a match not touching

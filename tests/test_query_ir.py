@@ -187,3 +187,10 @@ def test_lucene_response_json_round_trip():
     # empty members are omitted on the wire; total/hits always present
     lean = json.loads(LuceneResponse(total=0, hits=[]).asJson())
     assert lean == {"total": 0, "hits": []}
+
+    # ADVICE r5: a member explicitly set to a non-default EMPTY value
+    # survives serialization (the reference emits every set attribute)
+    withempty = json.loads(
+        LuceneResponse(total=0, hits=[], suggestions={}).asJson()
+    )
+    assert withempty == {"total": 0, "hits": [], "suggestions": {}}
