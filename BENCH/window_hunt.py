@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_attempts_r05.jsonl")
+LOG = os.environ.get(
+    "MLS_HUNT_LOG",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scaling_attempts_r06.jsonl"
+    ),
+)
 
 HIST_2CORE_STORE_100K = 724.3   # docs/s, r1-r3 clean windows (bench._HIST_2CORE_100K)
 BAND_2CORE_MAX = HIST_2CORE_STORE_100K * 1.10

@@ -97,18 +97,30 @@ class SegmentIndex:
         self.docs = spark.read.parquet(os.path.join(out_dir, "docs"))
         self.term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
         self.postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+        # reader-held term dictionary (metadata ONLY — df/shards, the
+        # analog of Lucene's in-heap FST term dict on an open reader):
+        # repeated queries on one handle skip the per-query metadata
+        # collect; postings are still decoded from parquet every query
+        self._meta_cache: dict[str, object] = {}
 
     # ------------------------------------------------------------- queries
     def _term_meta(self, terms: list[str]) -> list:
         """ONE term_stats lookup serving both the shard list and the df
         values — term/OR/AND top-k used to run two separate metadata
         collects per query (df lookup + shard lookup); this is the fused
-        single small job."""
-        return (
-            self.term_stats.filter(F.col("term").isin(terms))
-            .select("term", "df", "base_shard", "n_salts")
-            .collect()
-        )
+        single small job, memoized per term on the (immutable-snapshot)
+        reader handle."""
+        missing = [t for t in terms if t not in self._meta_cache]
+        if missing:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df", "base_shard", "n_salts")
+                .collect()
+            )
+            found = {r["term"]: r for r in rows}
+            for t in missing:
+                self._meta_cache[t] = found.get(t)
+        return [self._meta_cache[t] for t in terms if self._meta_cache[t] is not None]
 
     def _blocks_for_meta(self, rows: list) -> DataFrame:
         if not rows:
