@@ -261,6 +261,109 @@ def auto_n_shards(
     return int(min(max(need, floor, 1), 65536))
 
 
+# Lineage-as-Observation: the lineage row of a shard is a handful of
+# aggregates over the blocks just written, so for builds with a bounded
+# shard count the whole lineage pass can RIDE the postings write as
+# per-shard conditional Observation aggregates instead of a separate
+# read-back job (guide §1.3/§2.6: don't relaunch a job for what another
+# job already observed). n_terms uses the fact that every (field,)term
+# run starts with exactly one block_id==0 block. Above the cap the
+# conditional-aggregate expression tree would bloat (7 aggs per shard),
+# so big builds keep the column-pruned read-back.
+LINEAGE_OBS_MAX_SHARDS = 64
+LINEAGE_HASH_MOD = 2147483647
+LINEAGE_SCHEMA = (
+    "shard int, n_terms bigint, term_min string, term_max string, "
+    "n_blocks bigint, n_postings bigint, bytes bigint, "
+    "content_xxh64_sum string, run_id string"
+)
+
+
+def lineage_observation(remaining: list[int]):
+    """(Observation, aggregate exprs) reproducing the lineage read-back
+    aggregation exactly — one group of 7 conditional aggregates per
+    shard still to encode."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = []
+    for s in remaining:
+        c = F.col("shard") == s
+        aggs += [
+            F.sum(
+                F.when(c & (F.col("block_id") == 0), 1).otherwise(0)
+            ).alias(f"nt_{s}"),
+            F.min(F.when(c, F.col("term"))).alias(f"tmin_{s}"),
+            F.max(F.when(c, F.col("term"))).alias(f"tmax_{s}"),
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"nb_{s}"),
+            F.sum(F.when(c, F.col("doc_count")).otherwise(0)).alias(f"np_{s}"),
+            F.sum(F.when(c, F.col("_nbytes")).otherwise(0)).alias(f"by_{s}"),
+            F.sum(
+                F.when(c, F.pmod(F.col("_h"), F.lit(LINEAGE_HASH_MOD))).otherwise(0)
+            ).alias(f"h_{s}"),
+        ]
+    return obs, aggs
+
+
+def lineage_rows_from_observation(vals, remaining: list[int], run_id: str):
+    """Observation values -> lineage rows (schema LINEAGE_SCHEMA); a
+    shard that produced no blocks yields no row, exactly like the
+    read-back groupBy."""
+    rows = []
+    for s in remaining:
+        nb = int(vals[f"nb_{s}"] or 0)
+        if nb == 0:
+            continue
+        rows.append(
+            (
+                int(s),
+                int(vals[f"nt_{s}"]),
+                vals[f"tmin_{s}"],
+                vals[f"tmax_{s}"],
+                nb,
+                int(vals[f"np_{s}"]),
+                int(vals[f"by_{s}"]),
+                str(int(vals[f"h_{s}"]) % LINEAGE_HASH_MOD),
+                run_id,
+            )
+        )
+    return rows
+
+
+def write_lineage_rows(rows: list[tuple], lin_dir: str) -> None:
+    """Append a handful of driver-held lineage rows as one parquet file
+    WITHOUT a Spark job (a 32-row write cost a full job round-trip of
+    pure overhead — guide §5). Crash-safe like every commit in this
+    package: written to a dot-prefixed temp name (invisible to
+    spark.read.parquet) and atomically renamed into place."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    os.makedirs(lin_dir, exist_ok=True)
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "shard": pa.array(cols[0], pa.int32()),
+            "n_terms": pa.array(cols[1], pa.int64()),
+            "term_min": pa.array(cols[2], pa.string()),
+            "term_max": pa.array(cols[3], pa.string()),
+            "n_blocks": pa.array(cols[4], pa.int64()),
+            "n_postings": pa.array(cols[5], pa.int64()),
+            "bytes": pa.array(cols[6], pa.int64()),
+            "content_xxh64_sum": pa.array(cols[7], pa.string()),
+            "run_id": pa.array(cols[8], pa.string()),
+        }
+    )
+    token = uuid.uuid4().hex
+    tmp = os.path.join(lin_dir, f"._tmp-lineage-{token}")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(lin_dir, f"part-lineage-{token}.parquet"))
+
+
 def shard_dispersion_partitions(n_shards: int, parallelism: int) -> int:
     """Partition count for the encode exchange. groupBy("shard") hashes
     the shard int into shuffle-partition buckets; with n_shards close to
@@ -545,9 +648,11 @@ def build_segments(
             # streams are all computed in whole-shard numpy passes; the
             # only per-block Python is the final byte-slice.
             shard = int(key[0])
-            order = np.lexsort(
-                (pdf["doc_id"].to_numpy(), pdf["term"].to_numpy(dtype=object))
-            )
+            # factorize(sort=True) ranks terms by the same string order
+            # as a direct object-array sort at half the cost (measured
+            # r6) — the int-code lexsort is order-identical
+            t_codes = pd.factorize(pdf["term"], sort=True)[0]
+            order = np.lexsort((pdf["doc_id"].to_numpy(), t_codes))
             terms = pdf["term"].to_numpy(dtype=object)[order]
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
             tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
@@ -662,36 +767,47 @@ def build_segments(
             "_nbytes",
             (F.length("doc_bytes") + F.length("tf_bytes")).cast("long"),
         )
+        # lineage rides the write as Observations for bounded shard
+        # counts (see lineage_observation); the content hash stays the
+        # order-independent modular SUM of per-block xxhash64 values.
+        use_obs = len(remaining) <= LINEAGE_OBS_MAX_SHARDS
+        if use_obs:
+            lin_obs, lin_aggs = lineage_observation(remaining)
+            encoded = encoded.observe(lin_obs, *lin_aggs)
         encoded.write.mode("append").partitionBy("shard").parquet(post_dir)
         _mark("stage3-encode-write")
 
-        # lineage: one row per completed shard; the content hash is an
-        # an order-independent modular SUM of per-block xxhash64 values
-        # (cheap at any scale — no collect_list/concat of millions of
-        # block hashes; a SUM, unlike XOR, does not cancel duplicated
-        # or dropped-in-pairs blocks)
-        written = spark.read.parquet(post_dir).filter(
-            F.col("shard").isin(remaining)
-        ).select("shard", "term", "doc_count", "_h", "_nbytes")
-        lineage = (
-            written
-            .groupBy("shard")
-            .agg(
-                F.countDistinct("term").cast("long").alias("n_terms"),
-                # term range of the shard (salted shards interleave hash
-                # ranges, so this is a descriptive span, not a sort key)
-                F.min("term").alias("term_min"),
-                F.max("term").alias("term_max"),
-                F.count("*").cast("long").alias("n_blocks"),
-                F.sum("doc_count").cast("long").alias("n_postings"),
-                F.sum("_nbytes").cast("long").alias("bytes"),
-                F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(2147483647))), F.lit(2147483647))
-                .cast("string")
-                .alias("content_xxh64_sum"),
-                F.lit(run_id).alias("run_id"),
+        if use_obs:
+            write_lineage_rows(
+                lineage_rows_from_observation(lin_obs.get, remaining, run_id),
+                lin_dir,
             )
-        )
-        lineage.write.mode("append").parquet(lin_dir)
+        else:
+            written = spark.read.parquet(post_dir).filter(
+                F.col("shard").isin(remaining)
+            ).select("shard", "term", "doc_count", "_h", "_nbytes")
+            lineage = (
+                written
+                .groupBy("shard")
+                .agg(
+                    F.countDistinct("term").cast("long").alias("n_terms"),
+                    # term range of the shard (salted shards interleave
+                    # hash ranges: a descriptive span, not a sort key)
+                    F.min("term").alias("term_min"),
+                    F.max("term").alias("term_max"),
+                    F.count("*").cast("long").alias("n_blocks"),
+                    F.sum("doc_count").cast("long").alias("n_postings"),
+                    F.sum("_nbytes").cast("long").alias("bytes"),
+                    F.pmod(
+                        F.sum(F.pmod(F.col("_h"), F.lit(LINEAGE_HASH_MOD))),
+                        F.lit(LINEAGE_HASH_MOD),
+                    )
+                    .cast("string")
+                    .alias("content_xxh64_sum"),
+                    F.lit(run_id).alias("run_id"),
+                )
+            )
+            lineage.write.mode("append").parquet(lin_dir)
         _mark("stage4-lineage")
 
     if tstats_writer is not None:

@@ -274,6 +274,32 @@ def test_resume_noop_when_complete(spark, tmp_path):
     assert {r["run_id"] for r in lin.collect()} == {"orig"}
 
 
+def test_lineage_observation_matches_readback(spark, tmp_path, monkeypatch):
+    """r6: small builds compute lineage rows as write-riding Observation
+    aggregates instead of a read-back job; the rows must be IDENTICAL
+    (schema and values) to the read-back aggregation they replace."""
+    import os
+
+    from meresco_lucene_spark.index import segments as seg_mod
+
+    corpus = synthesize_corpus(spark, 80, seed=5, partitions=4)
+    a = str(tmp_path / "obs")
+    b = str(tmp_path / "readback")
+    build_segments(corpus, a, n_shards=4, salt_buckets=2, block_size=16)
+    monkeypatch.setattr(seg_mod, "LINEAGE_OBS_MAX_SHARDS", 0)
+    build_segments(corpus, b, n_shards=4, salt_buckets=2, block_size=16)
+
+    def rows(d):
+        df = spark.read.parquet(os.path.join(d, "lineage"))
+        assert df.columns == [
+            "shard", "n_terms", "term_min", "term_max", "n_blocks",
+            "n_postings", "bytes", "content_xxh64_sum", "run_id",
+        ]
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(a) == rows(b)
+
+
 def test_auto_n_shards_bounds():
     """Memory bound: occurrences/n_shards * OCC_ROW_BYTES <= target
     whenever the 65536 cap doesn't bind; the floor keeps sizable corpora
